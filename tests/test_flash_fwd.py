@@ -1,0 +1,100 @@
+"""Pallas flash-attention forward vs pure-JAX oracle.
+
+The kernel tier of the oracle ladder (SURVEY.md section 4): every config is
+checked against attention_naive at the reference tolerance (atol 1e-2 for
+bf16-class, tighter for fp32). Runs in interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tiny_flash_attention_tpu.ops import reference as R
+from tiny_flash_attention_tpu.ops.flash import flash_attention
+from tiny_flash_attention_tpu.ops.configs import FlashConfig
+from tiny_flash_attention_tpu.utils import assert_close, tolerance_for
+
+INTERP = FlashConfig(block_q=128, block_kv=128, interpret=True)
+
+
+def make_qkv(key, bs, hq, hkv, q_len, kv_len, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    return (jax.random.normal(kq, (bs, hq, q_len, d), dtype),
+            jax.random.normal(kk, (bs, hkv, kv_len, d), dtype),
+            jax.random.normal(kv, (bs, hkv, kv_len, d), dtype))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fwd_basic(causal, dtype):
+    key = jax.random.key(0)
+    q, k, v = make_qkv(key, 2, 4, 4, 256, 256, 64, dtype)
+    want = R.mha_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=causal, impl=R.attention_naive)
+    got = flash_attention(q, k, v, causal=causal, config=INTERP)
+    assert_close(got, want, atol=tolerance_for(dtype))
+
+
+def test_fwd_multiblock_kv():
+    # Several KV tiles per Q tile: exercises the online rescale path.
+    key = jax.random.key(1)
+    q, k, v = make_qkv(key, 1, 2, 2, 128, 512, 64)
+    want = R.mha_reference(q, k, v, causal=True, impl=R.attention_naive)
+    got = flash_attention(q, k, v, causal=True, config=INTERP)
+    assert_close(got, want, atol=tolerance_for(q.dtype))
+
+
+def test_fwd_gqa():
+    # 8 q heads / 2 kv heads routed via BlockSpec index maps.
+    key = jax.random.key(2)
+    q, k, v = make_qkv(key, 2, 8, 2, 128, 128, 64)
+    want = R.mha_reference(q, k, v, causal=True, impl=R.attention_naive)
+    got = flash_attention(q, k, v, causal=True, config=INTERP)
+    assert_close(got, want, atol=tolerance_for(q.dtype))
+
+
+def test_fwd_lse():
+    key = jax.random.key(3)
+    q, k, v = make_qkv(key, 1, 2, 2, 256, 256, 64)
+    _, want_lse = R.mha_reference(q, k, v, causal=True,
+                                  impl=R.flash_attention_v2_ref,
+                                  return_lse=True)
+    _, lse = flash_attention(q, k, v, causal=True, config=INTERP,
+                             return_lse=True)
+    assert_close(lse, want_lse, atol=1e-4, name="lse")
+
+
+@pytest.mark.parametrize("q_len,kv_len", [(128, 384), (384, 128), (100, 300)])
+def test_fwd_decode_shapes(q_len, kv_len):
+    key = jax.random.key(4)
+    q, k, v = make_qkv(key, 1, 2, 2, q_len, kv_len, 64)
+    want = R.mha_reference(q, k, v, causal=True, impl=R.attention_naive)
+    got = flash_attention(q, k, v, causal=True, config=INTERP)
+    assert_close(got, want, atol=tolerance_for(q.dtype))
+
+
+def test_fwd_nondivisible_and_headdim_pad():
+    # seqlen 200 (pad+mask) and head_dim 80 (zero-pad to 128).
+    key = jax.random.key(5)
+    q, k, v = make_qkv(key, 1, 2, 2, 200, 200, 80)
+    want = R.mha_reference(q, k, v, causal=True, impl=R.attention_naive)
+    got = flash_attention(q, k, v, causal=True, config=INTERP)
+    assert_close(got, want, atol=tolerance_for(q.dtype))
+
+
+def test_fwd_sm_scale():
+    key = jax.random.key(6)
+    q, k, v = make_qkv(key, 1, 2, 2, 128, 128, 64)
+    want = R.mha_reference(q, k, v, sm_scale=0.5, impl=R.attention_naive)
+    got = flash_attention(q, k, v, sm_scale=0.5, config=INTERP)
+    assert_close(got, want, atol=tolerance_for(q.dtype))
+
+
+def test_fwd_single_row_decode():
+    # q_len=1 decode against a long cache.
+    key = jax.random.key(7)
+    q, k, v = make_qkv(key, 2, 4, 4, 1, 512, 64)
+    want = R.mha_reference(q, k, v, causal=True, impl=R.attention_naive)
+    got = flash_attention(q, k, v, causal=True, config=INTERP)
+    assert_close(got, want, atol=tolerance_for(q.dtype))

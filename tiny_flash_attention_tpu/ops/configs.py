@@ -1,0 +1,72 @@
+"""Kernel configuration + dispatch table.
+
+The idiomatic TPU equivalent of the reference's compile-time template dispatch
+(cutlass/csrc/static_switch.h:17-138 BOOL/FP16/HEADDIM/BLOCKM/BLOCKN switches
++ kernel_traits.h:48-123 trait structs): a frozen dataclass holding the tile
+geometry, plus a dispatch table keyed on (dtype, head_dim). Each entry
+specializes a `pallas_call` exactly as each template instantiation specialized
+a CUDA kernel — XLA traces/compiles one executable per static config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+LANES = 128      # TPU lane count: last-dim tile quantum
+SUBLANES = 8     # fp32 sublane quantum (16 for bf16, 32 for int8/fp8)
+
+
+@dataclasses.dataclass(frozen=True)
+class FlashConfig:
+    """Tile geometry for the flash-attention forward kernel.
+
+    block_q / block_kv are the VMEM tile sizes along the two sequence dims —
+    the analog of the reference's kBlockM/kBlockN (cutlass
+    flash_attention.cu:726 fixes 64x64; triton uses 128x64 tiny_flash_attn_
+    triton.py:19-20). On TPU both must be multiples of 128 to map onto the
+    MXU/VPU T(8,128) layout.
+    """
+    block_q: int = 128
+    block_kv: int = 128
+    # Marks the kv grid dimension "arbitrary" (sequential) and the rest
+    # "parallel" so megacores can split batch/head/q blocks.
+    use_dimension_semantics: bool = True
+    interpret: bool = False
+
+    def __post_init__(self):
+        assert self.block_q % LANES == 0, self.block_q
+        assert self.block_kv % LANES == 0, self.block_kv
+
+
+# (dtype kind, head_dim) -> FlashConfig. The analog of FWD_HEADDIM_SWITCH
+# (cutlass static_switch.h:39-66 enumerating 8 head dims). Defaults favor
+# larger q tiles for small head dims (more rows per MXU pass), smaller for
+# d=256 (VMEM pressure).
+_DISPATCH: dict[tuple[str, int], FlashConfig] = {
+    ("bfloat16", 64): FlashConfig(block_q=512, block_kv=512),
+    ("bfloat16", 128): FlashConfig(block_q=512, block_kv=512),
+    ("bfloat16", 256): FlashConfig(block_q=256, block_kv=256),
+    ("float32", 64): FlashConfig(block_q=256, block_kv=256),
+    ("float32", 128): FlashConfig(block_q=256, block_kv=256),
+    ("float32", 256): FlashConfig(block_q=128, block_kv=256),
+}
+
+
+def default_config(dtype, head_dim: int, q_len: int, kv_len: int,
+                   interpret: bool = False) -> FlashConfig:
+    """Pick a tile config for (dtype, head_dim), clamped to the problem size."""
+    kind = jnp.dtype(dtype).name
+    padded_d = max(_round_up(head_dim, LANES), LANES)
+    cfg = _DISPATCH.get((kind, padded_d),
+                        FlashConfig(block_q=128, block_kv=128))
+    block_q = min(cfg.block_q, _round_up(q_len, LANES))
+    block_kv = min(cfg.block_kv, _round_up(kv_len, LANES))
+    return dataclasses.replace(cfg, block_q=block_q, block_kv=block_kv,
+                               interpret=interpret)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -139,45 +139,12 @@ def _fwd_kernel(
         lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l_safe)).astype(lse_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("causal", "sm_scale", "config", "return_lse"),
-)
-def flash_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    *,
-    causal: bool = False,
-    sm_scale: Optional[float] = None,
-    config: Optional[FlashConfig] = None,
-    return_lse: bool = False,
-):
-    """Flash-attention-2 forward.
-
-    Args:
-      q: (batch, q_heads, q_len, head_dim)
-      k, v: (batch, kv_heads, kv_len, head_dim); q_heads % kv_heads == 0 (GQA)
-      causal: two-level causal masking incl. decode shapes (q_len != kv_len)
-      sm_scale: softmax scale, default 1/sqrt(head_dim)
-      config: tile geometry; defaults via the (dtype, head_dim) dispatch table
-      return_lse: also return log-sum-exp (batch, q_heads, q_len) float32
-        (ref cutlass flash_attention.cu:756-771 returns {out, softmax_lse})
-
-    Returns: out (same shape/dtype as q), and lse if requested.
-    """
+def _flash_fwd_impl(q, k, v, causal, sm_scale, config):
+    """Runs the forward pallas_call; returns (out, lse)."""
     bs, hq, q_len, d = q.shape
     _, hkv, kv_len, dk = k.shape
     assert dk == d and v.shape == k.shape, (q.shape, k.shape, v.shape)
-    assert hq % hkv == 0, f"GQA needs q_heads {hq} % kv_heads {hkv} == 0"
     group = hq // hkv
-    if sm_scale is None:
-        sm_scale = 1.0 / math.sqrt(d)
-    if config is None:
-        # Interpret mode on non-TPU backends: the CPU-runnable "standalone"
-        # equivalent (SURVEY.md section 4 implication).
-        config = default_config(q.dtype, d, q_len, kv_len,
-                                interpret=jax.default_backend() != "tpu")
     block_q, block_kv = config.block_q, config.block_kv
 
     # Pad to tile multiples. Zero-padded head_dim columns are exact (they add
@@ -249,10 +216,80 @@ def flash_attention(
         interpret=config.interpret,
     )(q, k, v)
 
-    out = out[:, :, :q_len, :d]
-    if return_lse:
-        return out, lse[:, :, :q_len, 0]
+    return out[:, :, :q_len, :d], lse[:, :, :q_len, 0]
+
+
+# --- custom VJP wiring -------------------------------------------------------
+# The reference emits the LSE "for a (never-implemented) backward"
+# (SURVEY.md section 5 checkpoint row); here the backward exists: Pallas dq +
+# dkv kernels in flash_bwd.py, attached via custom_vjp so the flagship kernel
+# is trainable end-to-end.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, causal, sm_scale, config):
+    out, _ = _flash_fwd_impl(q, k, v, causal, sm_scale, config)
     return out
+
+
+def _flash_fwd_rule(q, k, v, causal, sm_scale, config):
+    out, lse = _flash_fwd_impl(q, k, v, causal, sm_scale, config)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_rule(causal, sm_scale, config, res, g):
+    from tiny_flash_attention_tpu.ops.flash_bwd import flash_attention_bwd
+    q, k, v, out, lse = res
+    bwd_block = min(128, config.block_q, config.block_kv)
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, out, lse, g, causal=causal, sm_scale=sm_scale,
+        block_q=bwd_block, block_kv=bwd_block, interpret=config.interpret)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "config", "return_lse"),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    config: Optional[FlashConfig] = None,
+    return_lse: bool = False,
+):
+    """Flash-attention-2 forward (differentiable).
+
+    Args:
+      q: (batch, q_heads, q_len, head_dim)
+      k, v: (batch, kv_heads, kv_len, head_dim); q_heads % kv_heads == 0 (GQA)
+      causal: two-level causal masking incl. decode shapes (q_len != kv_len)
+      sm_scale: softmax scale, default 1/sqrt(head_dim)
+      config: tile geometry; defaults via the (dtype, head_dim) dispatch table
+      return_lse: also return log-sum-exp (batch, q_heads, q_len) float32
+        (ref cutlass flash_attention.cu:756-771 returns {out, softmax_lse})
+
+    Returns: out (same shape/dtype as q), and lse if requested.
+    """
+    bs, hq, q_len, d = q.shape
+    _, hkv, kv_len, _ = k.shape
+    assert hq % hkv == 0, f"GQA needs q_heads {hq} % kv_heads {hkv} == 0"
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if config is None:
+        # Interpret mode on non-TPU backends: the CPU-runnable "standalone"
+        # equivalent (SURVEY.md section 4 implication).
+        config = default_config(q.dtype, d, q_len, kv_len,
+                                interpret=jax.default_backend() != "tpu")
+    if return_lse:
+        return _flash_fwd_impl(q, k, v, causal, sm_scale, config)
+    return _flash(q, k, v, causal, sm_scale, config)
 
 
 def _round_up(x: int, m: int) -> int:

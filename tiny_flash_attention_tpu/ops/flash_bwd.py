@@ -1,0 +1,233 @@
+"""Pallas flash-attention backward kernels (dq, dk, dv).
+
+The reference never implements a backward pass — it only emits the LSE a
+backward would need (cutlass flash_attention.cu:756-759, triton
+tiny_flash_attn_triton.py:189-197). This module completes that arc the TPU
+way: FlashAttention-2 backward as two Pallas kernels with `jax.custom_vjp`
+wiring (the custom-VJP pattern from the Pallas guide).
+
+Math (per q row, with saved out O and lse L):
+  di = rowsum(dO * O)
+  p  = exp(s * scale - L)            -- softmax weights recomputed tile-wise
+  dv += p^T @ dO
+  dp = dO @ v^T
+  ds = p * (dp - di) * scale
+  dq += ds @ k;   dk += ds^T @ q
+
+Two kernels with opposite iteration orders (the same split as the production
+JAX implementation): dKV iterates q blocks per kv block, dQ iterates kv
+blocks per q block — each accumulates its output in VMEM scratch across its
+sequential grid dimension. GQA: dk/dv accumulate over the q-head group via an
+extra sequential `group` grid dimension whose output block index is constant,
+so the scratch keeps accumulating while q/do/lse walk the group's heads.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tiny_flash_attention_tpu.ops.configs import LANES
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _recompute_p(q, k, lse, sm_scale, qi, kvi, block_q, block_kv,
+                 q_len, kv_len, causal, kv_mask, precision):
+    """Recomputes the softmax tile p = exp(s*scale - lse)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    s *= sm_scale
+    if causal or kv_mask:
+        col = kvi * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 1)
+        mask = col < kv_len if kv_mask else None
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0) + (kv_len - q_len)
+            cmask = col <= row
+            mask = cmask if mask is None else (mask & cmask)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    return jnp.exp(s - lse)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                   dq_ref, dq_scr, *, causal, sm_scale, n_kv, block_q,
+                   block_kv, q_len, kv_len, kv_mask, precision):
+    qi, kvi = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(kvi == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    offset = kv_len - q_len
+    should_run = (kvi * block_kv <= (qi + 1) * block_q - 1 + offset
+                  if causal else True)
+
+    @pl.when(should_run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]          # (block_q, 1)
+        di = di_ref[0, 0]            # (block_q, 1)
+        p = _recompute_p(q, k, lse, sm_scale, qi, kvi, block_q, block_kv,
+                         q_len, kv_len, causal, kv_mask, precision)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        ds = p * (dp - di) * sm_scale
+        dq_scr[...] += jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(kvi == n_kv - 1)
+    def _done():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, causal, sm_scale,
+                    n_q, group, block_q, block_kv, q_len, kv_len, kv_mask,
+                    precision):
+    # grid: (bs, hkv, n_kv, group, n_q); dims 3 and 4 are sequential and the
+    # dk/dv output block index ignores them, so scratch accumulates across
+    # the whole q-head group and all q blocks.
+    kvi, g, qi = pl.program_id(2), pl.program_id(3), pl.program_id(4)
+
+    @pl.when((qi == 0) & (g == 0))
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    offset = kv_len - q_len
+    should_run = (kvi * block_kv <= (qi + 1) * block_q - 1 + offset
+                  if causal else True)
+
+    @pl.when(should_run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        di = di_ref[0, 0]
+        p = _recompute_p(q, k, lse, sm_scale, qi, kvi, block_q, block_kv,
+                         q_len, kv_len, causal, kv_mask, precision)
+        # dv += p^T @ dO
+        dv_scr[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        ds = p * (dp - di) * sm_scale
+        # dk += ds^T @ q
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when((qi == n_q - 1) & (g == group - 1))
+    def _done():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
+                        block_q=128, block_kv=128, interpret=False):
+    """Computes (dq, dk, dv). All arrays (b, h, s, d)-shaped like forward."""
+    bs, hq, q_len, d = q.shape
+    _, hkv, kv_len, _ = k.shape
+    group = hq // hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    precision = (jax.lax.Precision.HIGHEST
+                 if q.dtype == jnp.float32 else None)
+
+    d_pad = _round_up(d, LANES)
+    q_pad = _round_up(q_len, block_q)
+    kv_pad = _round_up(kv_len, block_kv)
+    n_q, n_kv = q_pad // block_q, kv_pad // block_kv
+    kv_mask = kv_pad != kv_len
+
+    # di = rowsum(dO * O): cheap elementwise+reduce, fused by XLA.
+    di = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                 axis=-1, keepdims=True)
+
+    qp = _pad4(q, q_pad, d_pad)
+    kp = _pad4(k, kv_pad, d_pad)
+    vp = _pad4(v, kv_pad, d_pad)
+    dop = _pad4(do, q_pad, d_pad)
+    lsep = _pad4(lse[..., None], q_pad, 1)
+    dip = _pad4(di, q_pad, 1)
+
+    qspec = pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, i, j: (b, h, i, 0))
+    kvspec = pl.BlockSpec((1, 1, block_kv, d_pad),
+                          lambda b, h, i, j, g=group: (b, h // g, j, 0))
+    rowspec = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, causal=causal, sm_scale=sm_scale, n_kv=n_kv,
+            block_q=block_q, block_kv=block_kv, q_len=q_len, kv_len=kv_len,
+            kv_mask=kv_mask, precision=precision),
+        grid=(bs, hq, n_q, n_kv),
+        in_specs=[qspec, kvspec, kvspec, qspec, rowspec, rowspec],
+        out_specs=pl.BlockSpec((1, 1, block_q, d_pad),
+                               lambda b, h, i, j: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bs, hq, q_pad, d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, dip)
+
+    # dkv: grid (bs, hkv, n_kv, group, n_q)
+    qspec2 = pl.BlockSpec(
+        (1, 1, block_q, d_pad),
+        lambda b, hk, j, g, i, gr=group: (b, hk * gr + g, i, 0))
+    kvspec2 = pl.BlockSpec((1, 1, block_kv, d_pad),
+                           lambda b, hk, j, g, i: (b, hk, j, 0))
+    rowspec2 = pl.BlockSpec(
+        (1, 1, block_q, 1),
+        lambda b, hk, j, g, i, gr=group: (b, hk * gr + g, i, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale, n_q=n_q,
+            group=group, block_q=block_q, block_kv=block_kv, q_len=q_len,
+            kv_len=kv_len, kv_mask=kv_mask, precision=precision),
+        grid=(bs, hkv, n_kv, group, n_q),
+        in_specs=[qspec2, kvspec2, kvspec2, qspec2, rowspec2, rowspec2],
+        out_specs=[kvspec2, kvspec2],
+        out_shape=[jax.ShapeDtypeStruct((bs, hkv, kv_pad, d_pad), k.dtype),
+                   jax.ShapeDtypeStruct((bs, hkv, kv_pad, d_pad), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_kv, d_pad), jnp.float32),
+                        pltpu.VMEM((block_kv, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, dip)
+
+    return (dq[:, :, :q_len, :d], dk[:, :, :kv_len, :d],
+            dv[:, :, :kv_len, :d])
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _pad4(x, s_to, d_to):
+    ps, pd = s_to - x.shape[2], d_to - x.shape[3]
+    if ps == 0 and pd == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, ps), (0, pd)))

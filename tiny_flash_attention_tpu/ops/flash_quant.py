@@ -1,0 +1,212 @@
+"""Flash attention over a quantized (INT8 / FP8-e4m3) KV cache.
+
+North-star kernel (BASELINE.json configs 2-3): same online-softmax pipeline
+as ops/flash.py, but K/V arrive as low-bit payloads with per-token-row fp32
+scales and the dequant is folded *around* the matmuls inside the streaming
+loop — never materializing a dequantized cache in HBM:
+
+    s = (q @ k_int^T) * k_scale^T          (scale applied to score columns)
+    o += (p * v_scale^T) @ v_int           (scale applied to p columns)
+
+The payload convert int8->bf16 happens on the VPU per VMEM tile (the analog
+of the reference archive's per-thread fp32 cast buffers, archive
+attn.cpp:250-351); HBM traffic for the cache is halved (int8) vs bf16.
+Scales are stored pre-transposed (b, h_kv, 1, s) so their tiles are
+lane-oriented and the column-wise multiplies need no relayout.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tiny_flash_attention_tpu.ops.configs import FlashConfig, default_config, LANES
+from tiny_flash_attention_tpu.ops.quant import QuantizedTensor
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _fwd_quant_kernel(
+    q_ref, k_ref, v_ref, kscale_ref, vscale_ref,
+    o_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *,
+    causal: bool,
+    sm_scale: float,
+    n_kv: int,
+    block_q: int,
+    block_kv: int,
+    q_len: int,
+    kv_len: int,
+    kv_pad: bool,
+):
+    qi = pl.program_id(2)
+    kvi = pl.program_id(3)
+    offset = kv_len - q_len
+
+    @pl.when(kvi == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    should_run = (kvi * block_kv <= (qi + 1) * block_q - 1 + offset
+                  if causal else True)
+
+    @pl.when(should_run)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0].astype(q_ref.dtype)      # VPU convert int8/fp8->q dtype
+        kscale = kscale_ref[0, 0]                 # (1, block_kv), lane-oriented
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s *= kscale * sm_scale                    # fold dequant + sm_scale
+
+        need_col_mask = kv_pad or causal
+        if need_col_mask:
+            col = kvi * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1)
+            mask = col < kv_len if kv_pad else None
+            if causal:
+                row = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_kv), 0) + offset
+                cmask = col <= row
+                mask = cmask if mask is None else (mask & cmask)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        if need_col_mask:
+            p *= m_next[:, :1] > 0.5 * DEFAULT_MASK_VALUE
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0, 0].astype(q_ref.dtype)
+        vscale = vscale_ref[0, 0]                 # (1, block_kv)
+        p_scaled = (p * vscale).astype(q_ref.dtype)
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot_general(
+            p_scaled, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kvi == n_kv - 1)
+    def _epilogue():
+        l = l_scr[:, :1]
+        l_safe = jnp.where((l == 0.0) | jnp.isnan(l), 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l_safe)).astype(lse_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "config", "return_lse"))
+def flash_attention_quantized(
+    q: jax.Array,
+    k: QuantizedTensor,
+    v: QuantizedTensor,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    config: Optional[FlashConfig] = None,
+    return_lse: bool = False,
+):
+    """Flash attention with an INT8/FP8 KV cache (per-token-row scales).
+
+    q: (b, hq, q_len, d) bf16/fp32. k, v: QuantizedTensor with values
+    (b, hkv, kv_len, d) int8 or float8_e4m3fn and scales (b, hkv, kv_len, 1).
+    """
+    bs, hq, q_len, d = q.shape
+    _, hkv, kv_len, _ = k.values.shape
+    assert hq % hkv == 0
+    group = hq // hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if config is None:
+        config = default_config(q.dtype, d, q_len, kv_len,
+                                interpret=jax.default_backend() != "tpu")
+    block_q, block_kv = config.block_q, config.block_kv
+
+    d_pad = _round_up(d, LANES)
+    q_pad = _round_up(q_len, block_q)
+    kv_pad = _round_up(kv_len, block_kv)
+    n_q, n_kv = q_pad // block_q, kv_pad // block_kv
+
+    qp = _pad4(q, q_pad, d_pad)
+    kp = _pad4(k.values, kv_pad, d_pad)
+    vp = _pad4(v.values, kv_pad, d_pad)
+    # scales transposed to (b, hkv, 1, s_pad): lane-oriented tiles
+    ks = _pad_lane(jnp.swapaxes(k.scales, 2, 3), kv_pad)
+    vs = _pad_lane(jnp.swapaxes(v.scales, 2, 3), kv_pad)
+
+    kernel = functools.partial(
+        _fwd_quant_kernel, causal=causal, sm_scale=sm_scale, n_kv=n_kv,
+        block_q=block_q, block_kv=block_kv, q_len=q_len, kv_len=kv_len,
+        kv_pad=kv_pad != kv_len)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bs, hq, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, d_pad),
+                         lambda b, h, i, j, g=group: (b, h // g, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d_pad),
+                         lambda b, h, i, j, g=group: (b, h // g, j, 0)),
+            pl.BlockSpec((1, 1, 1, block_kv),
+                         lambda b, h, i, j, g=group: (b, h // g, 0, j)),
+            pl.BlockSpec((1, 1, 1, block_kv),
+                         lambda b, h, i, j, g=group: (b, h // g, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, hq, q_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bs, hq, q_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=config.interpret,
+    )(qp, kp, vp, ks, vs)
+
+    out = out[:, :, :q_len, :d]
+    if return_lse:
+        return out, lse[:, :, :q_len, 0]
+    return out
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _pad4(x, s_to, d_to):
+    ps, pd = s_to - x.shape[2], d_to - x.shape[3]
+    if ps == 0 and pd == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, ps), (0, pd)))
+
+
+def _pad_lane(x, s_to):
+    ps = s_to - x.shape[3]
+    if ps == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, ps)))

@@ -1,0 +1,74 @@
+"""Fused-page decode kernel vs oracle (bf16 and int8-with-packed-scales)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiny_flash_attention_tpu.ops import reference as R
+from tiny_flash_attention_tpu.ops.paged_fused import (
+    fused_paged_decode_attention, pack_paged_cache, quantize_kv_page_int8,
+    _pack_scale_rows)
+from tiny_flash_attention_tpu.utils import assert_close
+
+from tests.test_paged import build_paged_cache, oracle_decode
+
+
+def test_scale_row_packing_roundtrip():
+    s = jnp.arange(128, dtype=jnp.float32) * 0.37 + 0.01
+    packed = _pack_scale_rows(s)  # (4, 128) int8
+    unpacked = jax.lax.bitcast_convert_type(
+        jnp.swapaxes(packed, -1, -2), jnp.float32)
+    assert np.allclose(np.asarray(unpacked), np.asarray(s))
+
+
+def test_fused_bf16_decode():
+    batch, hkv, hq, d, pps = 2, 2, 8, 128, 4
+    lengths = [300, 512]
+    k_full, v_full, k_pages, v_pages, page_indices = build_paged_cache(
+        jax.random.key(0), batch, hkv, lengths, d, pps, dtype=jnp.bfloat16,
+        page=128)
+    fused = pack_paged_cache(k_pages, v_pages, "bf16")
+    q = jax.random.normal(jax.random.key(1), (batch, hq, d), jnp.bfloat16)
+    out, lse = fused_paged_decode_attention(
+        q, fused, jnp.asarray(lengths, jnp.int32), page_indices,
+        page_size=128, pages_per_block=2)
+    k_rep = jnp.repeat(k_full, hq // hkv, axis=1).astype(jnp.float32)
+    v_rep = jnp.repeat(v_full, hq // hkv, axis=1).astype(jnp.float32)
+    want = oracle_decode(q.astype(jnp.float32), k_rep, v_rep, lengths)
+    assert_close(out, want, atol=2e-2)
+    assert not bool(jnp.isnan(lse).any())
+
+
+def test_fused_int8_decode():
+    batch, hkv, hq, d, pps = 2, 2, 8, 128, 4
+    lengths = [290, 512]
+    k_full, v_full, k_pages, v_pages, page_indices = build_paged_cache(
+        jax.random.key(2), batch, hkv, lengths, d, pps, page=128)
+    fused = pack_paged_cache(k_pages, v_pages, "int8")
+    assert fused.shape == (hkv, k_pages.shape[1], 2 * 128 + 8, d)
+    q = jax.random.normal(jax.random.key(3), (batch, hq, d), jnp.float32)
+    out, _ = fused_paged_decode_attention(
+        q, fused, jnp.asarray(lengths, jnp.int32), page_indices,
+        page_size=128, pages_per_block=2)
+    # kernel-exact oracle: dequantize each page identically to the packer
+    kq = jax.vmap(jax.vmap(lambda kp, vp: quantize_kv_page_int8(kp, vp)))(
+        k_pages, v_pages)
+    ps = 128
+    kvals = kq[:, :, :ps].astype(jnp.float32)
+    vvals = kq[:, :, ps:2 * ps].astype(jnp.float32)
+    kscale = jax.lax.bitcast_convert_type(
+        jnp.swapaxes(kq[:, :, 2 * ps:2 * ps + 4], -1, -2), jnp.float32)
+    vscale = jax.lax.bitcast_convert_type(
+        jnp.swapaxes(kq[:, :, 2 * ps + 4:2 * ps + 8], -1, -2), jnp.float32)
+    kd = kvals * kscale[..., None]
+    vd = vvals * vscale[..., None]
+    k_gather = jnp.stack([
+        jnp.concatenate([kd[:, page_indices[b, pi]] for pi in range(pps)],
+                        axis=1) for b in range(batch)])
+    v_gather = jnp.stack([
+        jnp.concatenate([vd[:, page_indices[b, pi]] for pi in range(pps)],
+                        axis=1) for b in range(batch)])
+    k_rep = jnp.repeat(k_gather, hq // hkv, axis=1)
+    v_rep = jnp.repeat(v_gather, hq // hkv, axis=1)
+    want = oracle_decode(q, k_rep, v_rep, lengths)
+    assert_close(out, want, atol=1e-4, name="fused int8 kernel-exact")

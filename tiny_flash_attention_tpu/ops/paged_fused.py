@@ -1,0 +1,284 @@
+"""Fused-page decode attention: one DMA per page (K+V payload + scales).
+
+The DMA-economics successor to ops/paged.py: at decode block sizes the paged
+kernel is DMA-*issue*-bound, not bandwidth-bound (measured ~180 ns per issued
+copy on v5e through this host), so the page format is designed to minimize
+copies: each page packs, in one contiguous int8/bf16 block,
+
+    rows [0, ps)          K payload (ps tokens x d)
+    rows [ps, 2ps)        V payload
+    rows [2ps, 2ps+4)     K per-token scales, f32 bit-packed into int8 rows
+    rows [2ps+4, 2ps+8)   V per-token scales            (int8 format only)
+
+One `make_async_copy` per page fetches everything — 4x fewer DMAs than
+separate K/V/scale arrays. Scale rows are unpacked in-register with
+`pltpu.bitcast((4, d) int8 -> (1, d) f32)`; the byte-j-of-token-i-at-row-j
+layout is produced by `pack_kv_page` below and verified on hardware.
+
+Kernel structure (grid, double buffering, online softmax) matches
+ops/paged.py; see its docstring for the design citations. Scales fold into
+per-page K dots / V accumulates, so no sublane->lane scale reassembly exists
+anywhere. Requires page_size == head_dim for the int8 format (the scale row
+of ps floats must occupy exactly 4 payload rows of d lanes).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tiny_flash_attention_tpu.ops.quant import INT8_MAX
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+# --- page packing -------------------------------------------------------------
+
+
+def pack_kv_page_bf16(k_page: jax.Array, v_page: jax.Array) -> jax.Array:
+    """(ps, d) + (ps, d) bf16 -> (2ps, d) fused page."""
+    return jnp.concatenate([k_page, v_page], axis=-2)
+
+
+def _pack_scale_rows(scales: jax.Array) -> jax.Array:
+    """(..., ps) f32 -> (..., 4, ps) int8: byte j of token i at [j, i]."""
+    bytes_ = jax.lax.bitcast_convert_type(scales, jnp.int8)  # (..., ps, 4)
+    return jnp.swapaxes(bytes_, -1, -2)
+
+
+def quantize_kv_page_int8(k_page: jax.Array, v_page: jax.Array) -> jax.Array:
+    """(ps, d) x2 float -> (2ps+8, d) int8 fused page with per-token scales."""
+    ps, d = k_page.shape[-2:]
+    assert ps == d, f"int8 fused pages need page_size == head_dim ({ps}, {d})"
+
+    def q(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.where(amax == 0.0, 1.0, amax / INT8_MAX)
+        vals = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                        -INT8_MAX, INT8_MAX).astype(jnp.int8)
+        return vals, scale[..., 0]
+
+    kq, ks = q(k_page)
+    vq, vs = q(v_page)
+    return jnp.concatenate(
+        [kq, vq, _pack_scale_rows(ks), _pack_scale_rows(vs)], axis=-2)
+
+
+def pack_paged_cache(k_pages: jax.Array, v_pages: jax.Array,
+                     fmt: str = "bf16") -> jax.Array:
+    """(hkv, np, ps, d) K and V page arrays -> fused pages array."""
+    if fmt == "bf16":
+        return jax.vmap(jax.vmap(pack_kv_page_bf16))(k_pages, v_pages)
+    if fmt == "int8":
+        return jax.vmap(jax.vmap(quantize_kv_page_int8))(k_pages, v_pages)
+    raise ValueError(fmt)
+
+
+# --- kernel -------------------------------------------------------------------
+
+
+def _fused_decode_kernel(
+    lengths_ref, page_indices_ref,
+    q_ref, pages_hbm,
+    o_ref, lse_ref,
+    m_scr, l_scr, acc_scr, buf, sems, buf_idx,
+    *,
+    batch: int,
+    hkv: int,
+    pages_per_block: int,
+    pages_per_seq: int,
+    page_size: int,
+    sm_scale: float,
+    quantized: bool,
+):
+    b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    bk = pages_per_block * page_size
+    ps = page_size
+    length = lengths_ref[b]
+    n_blocks = pl.cdiv(length, bk)
+
+    def copies(bb, ii, hh, slot):
+        off = bb * pages_per_seq
+        out = []
+        for p in range(pages_per_block):
+            page = page_indices_ref[off + ii * pages_per_block + p]
+            out.append(pltpu.make_async_copy(
+                pages_hbm.at[hh, page], buf.at[slot, p], sems.at[slot, p]))
+        return out
+
+    @pl.when(i * bk < length)
+    def _run():
+        @pl.when(i == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        @pl.when((b == 0) & (h == 0) & (i == 0))
+        def _bootstrap():
+            buf_idx[0] = 0
+            for c in copies(b, i, h, 0):
+                c.start()
+
+        slot = buf_idx[0]
+        nxt_in_seq = i + 1 < n_blocks
+        nb = jnp.where(nxt_in_seq, b, jnp.where(h + 1 < hkv, b, b + 1))
+        nh = jnp.where(nxt_in_seq, h, jnp.where(h + 1 < hkv, h + 1, 0))
+        ni = jnp.where(nxt_in_seq, i + 1, 0)
+
+        @pl.when(nb < batch)
+        def _prefetch():
+            for c in copies(nb, ni, nh, 1 - slot):
+                c.start()
+
+        buf_idx[0] = 1 - slot
+
+        for c in copies(b, i, h, slot):
+            c.wait()
+
+        q = q_ref[0, 0]                                     # (G, d)
+
+        if quantized:
+            # per-page dots with the scale folded into the score columns
+            s_parts = []
+            for p in range(pages_per_block):
+                kp = buf[slot, p, :ps].astype(q_ref.dtype)  # (ps, d)
+                kscale = pltpu.bitcast(
+                    buf[slot, p, 2 * ps:2 * ps + 4], jnp.float32)  # (1, ps)
+                sp = jax.lax.dot_general(
+                    q, kp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s_parts.append(sp * kscale)
+            s = jnp.concatenate(s_parts, axis=1)            # (G, bk)
+        else:
+            k = buf[slot, :, :ps].reshape(bk, -1)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        s *= sm_scale
+
+        col = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev, l_prev = m_scr[...], l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p_ = jnp.exp(s - m_next[:, :1])
+        p_ *= m_next[:, :1] > 0.5 * DEFAULT_MASK_VALUE
+        l_next = alpha * l_prev + jnp.sum(p_, axis=1, keepdims=True)
+        m_scr[...], l_scr[...] = m_next, l_next
+
+        if quantized:
+            pv = jnp.zeros_like(acc_scr)
+            for p in range(pages_per_block):
+                vp = buf[slot, p, ps:2 * ps].astype(q_ref.dtype)
+                vscale = pltpu.bitcast(
+                    buf[slot, p, 2 * ps + 4:2 * ps + 8], jnp.float32)
+                pcol = p_[:, p * ps:(p + 1) * ps] * vscale
+                pv += jax.lax.dot_general(
+                    pcol.astype(q_ref.dtype), vp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            v = buf[slot, :, ps:2 * ps].reshape(bk, -1)
+            pv = jax.lax.dot_general(
+                p_.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+        @pl.when(i == n_blocks - 1)
+        def _epilogue():
+            l = l_scr[:, :1]
+            l_safe = jnp.where((l == 0.0) | jnp.isnan(l), 1.0, l)
+            o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+            lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l_safe)).astype(
+                lse_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "page_size", "sm_scale", "pages_per_block", "interpret"))
+def fused_paged_decode_attention(
+    q: jax.Array,
+    fused_pages: jax.Array,
+    lengths: jax.Array,
+    page_indices: jax.Array,
+    *,
+    page_size: int,
+    sm_scale: Optional[float] = None,
+    pages_per_block: int = 8,
+    interpret: Optional[bool] = None,
+):
+    """Decode attention over fused KV pages (see module docstring).
+
+    q: (batch, q_heads, d). fused_pages: (kv_heads, num_pages, rows, d) where
+    rows = 2*page_size (bf16) or 2*page_size + 8 (int8 with packed scales).
+    Returns (out (batch, q_heads, d), lse (batch, q_heads)).
+    """
+    batch, hq, d = q.shape
+    hkv, num_pages, rows, _ = fused_pages.shape
+    quantized = fused_pages.dtype == jnp.int8
+    expect_rows = 2 * page_size + (8 if quantized else 0)
+    assert rows == expect_rows, (rows, expect_rows)
+    assert hq % hkv == 0
+    group = hq // hkv
+    pages_per_seq = page_indices.shape[1]
+    assert pages_per_seq % pages_per_block == 0
+    max_blocks = pages_per_seq // pages_per_block
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    g_pad = max(8, ((group + 7) // 8) * 8)
+    qg = q.reshape(batch, hkv, group, d)
+    if g_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+
+    kernel = functools.partial(
+        _fused_decode_kernel,
+        batch=batch, hkv=hkv, pages_per_block=pages_per_block,
+        pages_per_seq=pages_per_seq, page_size=page_size,
+        sm_scale=sm_scale, quantized=quantized)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, hkv, max_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, g_pad, d), lambda b, h, i, *_: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, g_pad, d), lambda b, h, i, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, g_pad, 1), lambda b, h, i, *_: (b, h, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, d), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, rows, d), fused_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, pages_per_block)),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, hkv, g_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((batch, hkv, g_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(lengths, page_indices.reshape(-1), qg, fused_pages)
+
+    out = out[:, :, :group, :].reshape(batch, hq, d)
+    lse = lse[:, :, :group, 0].reshape(batch, hq)
+    return out, lse

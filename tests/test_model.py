@@ -1,0 +1,101 @@
+"""Model-layer tests: forward parity across attention impls, decode-vs-
+prefill logit parity (the end-to-end oracle for the whole cache/kernel
+stack), weight-only quantization, continuous batching."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tiny_flash_attention_tpu.models import transformer as T
+from tiny_flash_attention_tpu.models.engine import InferenceEngine, Request
+from tiny_flash_attention_tpu.models.inference import prefill_forward
+from tiny_flash_attention_tpu.utils import assert_close
+
+CFG = T.ModelConfig(
+    vocab_size=256, d_model=128, n_layers=2, n_q_heads=4, n_kv_heads=2,
+    d_head=128, d_ff=256, dtype=jnp.float32, attn_impl="reference")
+
+
+def make_params(cfg=CFG, seed=0):
+    return T.init_params(cfg, jax.random.key(seed))
+
+
+def test_forward_flash_vs_reference():
+    params = make_params()
+    toks = jax.random.randint(jax.random.key(1), (2, 128), 0, 256)
+    ref_logits = T.forward(CFG, params, toks)
+    flash_cfg = dataclasses.replace(CFG, attn_impl="flash")
+    flash_logits = T.forward(flash_cfg, params, toks)
+    assert_close(flash_logits, ref_logits, atol=5e-4, name="logits")
+
+
+def test_loss_and_grad_through_flash():
+    cfg = dataclasses.replace(CFG, attn_impl="flash")
+    params = make_params(cfg)
+    toks = jax.random.randint(jax.random.key(2), (2, 128), 0, 256)
+    loss, grads = jax.value_and_grad(
+        lambda p: T.loss_fn(cfg, p, toks))(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in flat)
+
+
+@pytest.mark.parametrize("kv_format", ["bf16", "int8"])
+def test_decode_matches_prefill(kv_format):
+    """Token-by-token paged decode must reproduce full-forward logits."""
+    cfg = CFG
+    params = make_params()
+    prompt = list(np.random.default_rng(3).integers(0, 256, size=20))
+    n_new = 12
+
+    eng = InferenceEngine(cfg, params, num_pages=64, page_size=128,
+                          max_seqs=2, pages_per_seq=8, kv_format=kv_format)
+    out = eng.generate([prompt], max_new_tokens=n_new, temperature=0.0)[0]
+    assert len(out) == n_new
+
+    # oracle: greedy decode by re-running the full forward each step
+    toks = list(prompt)
+    want = []
+    for _ in range(n_new):
+        logits = T.forward(cfg, params, jnp.asarray([toks], jnp.int32))
+        nxt = int(jnp.argmax(logits[0, len(toks) - 1]))
+        want.append(nxt)
+        toks.append(nxt)
+
+    if kv_format == "bf16":
+        assert out == want, (out, want)
+    else:
+        # int8 cache: tokens may diverge after several steps; require the
+        # first steps to agree (quant error ~0.5%, argmax-stable early)
+        assert out[:4] == want[:4], (out, want)
+
+
+def test_continuous_batching_multiple_requests():
+    params = make_params()
+    rng = np.random.default_rng(4)
+    prompts = [list(rng.integers(0, 256, size=n)) for n in (5, 17, 30)]
+    eng = InferenceEngine(CFG, params, num_pages=64, page_size=128,
+                          max_seqs=2, pages_per_seq=4)  # < len(prompts) slots
+    outs = eng.generate(prompts, max_new_tokens=6)
+    assert all(len(o) == 6 for o in outs)
+    # each prompt's first token must match its standalone greedy decode
+    for p, o in zip(prompts, outs):
+        logits = T.forward(CFG, params, jnp.asarray([p], jnp.int32))
+        assert o[0] == int(jnp.argmax(logits[0, len(p) - 1]))
+
+
+def test_weight_only_int8_model():
+    params = make_params()
+    qparams = T.quantize_params(params, "int8")
+    toks = jax.random.randint(jax.random.key(5), (1, 64), 0, 256)
+    base = T.forward(CFG, params, toks)
+    quant = T.forward(CFG, qparams, toks)
+    # logits drift bounded by int8 weight error accumulated over 2 layers
+    assert_close(quant, base, atol=1.5, name="int8 weights logits")
+    # argmax agreement on most positions
+    agree = np.mean(np.asarray(jnp.argmax(base, -1) == jnp.argmax(quant, -1)))
+    assert agree > 0.9, agree

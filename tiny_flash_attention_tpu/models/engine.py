@@ -1,0 +1,144 @@
+"""Continuous-batching inference engine.
+
+Host-side orchestration over the jitted prefill/decode paths: requests are
+admitted into free cache slots as they arrive, every decode step advances ALL
+slots in one fixed-shape kernel launch (inactive slots run against a reserved
+scratch page and are ignored), and finished sequences free their pages
+immediately. This is the north-star "continuous-batching decode loop"
+(BASELINE.json) — the reference has no serving layer at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiny_flash_attention_tpu.models import transformer as T
+from tiny_flash_attention_tpu.models.kv_cache import PagedKVCache
+from tiny_flash_attention_tpu.models.inference import (
+    prefill_forward, decode_step, sample_tokens)
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: List[int]
+    max_new_tokens: int
+    temperature: float = 0.0
+    eos_token: Optional[int] = None
+    # filled by the engine
+    slot: int = -1
+    generated: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class InferenceEngine:
+    def __init__(self, cfg: T.ModelConfig, params: dict, *,
+                 num_pages: int = 512, page_size: int = 128,
+                 max_seqs: int = 8, pages_per_seq: int = 32,
+                 kv_format: str = "bf16", seed: int = 0):
+        self.cfg = cfg
+        self.params = params
+        self.cache = PagedKVCache.create(
+            n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads,
+            num_pages=num_pages, page_size=page_size, d_head=cfg.d_head,
+            max_seqs=max_seqs, pages_per_seq=pages_per_seq, fmt=kv_format,
+            dtype=cfg.dtype)
+        # page 0 is the scratch page inactive slots read/write; never allocate
+        self.cache.free_pages = [p for p in self.cache.free_pages if p != 0]
+        self.page_size = page_size
+        self.kv_format = kv_format
+        self.requests: Dict[int, Request] = {}
+        self.last_token = np.zeros((max_seqs,), np.int32)
+        self.temps = np.zeros((max_seqs,), np.float32)
+        self.key = jax.random.key(seed)
+
+    # --- admission -------------------------------------------------------
+
+    def add_request(self, req: Request) -> int:
+        ps = self.page_size
+        L = len(req.prompt)
+        upper = L + req.max_new_tokens
+        slot = self.cache.alloc_slot(upper)
+        req.slot = slot
+        self.requests[slot] = req
+
+        # prefill: pad prompt to a page multiple (bucketed compile shapes)
+        L_pad = -(-L // ps) * ps
+        toks = np.zeros((1, L_pad), np.int32)
+        toks[0, :L] = req.prompt
+        logits, ks, vs = prefill_forward(self.cfg, self.params,
+                                         jnp.asarray(toks))
+        self.cache.write_prefill(slot, ks, vs)
+        self.cache.lengths[slot] = L
+        self.temps[slot] = req.temperature
+        self.key, sub = jax.random.split(self.key)
+        next_tok = int(sample_tokens(logits[:, L - 1], sub,
+                                     jnp.float32(req.temperature))[0])
+        self._record(slot, next_tok)
+        return slot
+
+    # --- decode ------------------------------------------------------------
+
+    def step(self) -> Dict[int, int]:
+        """Advances every active slot one token; returns {slot: token}."""
+        active = [s for s, r in self.requests.items() if not r.done]
+        if not active:
+            return {}
+        lengths = self.cache.lengths.copy()
+        positions = jnp.asarray(np.maximum(lengths - 0, 0), jnp.int32)
+        # inactive slots decode against the scratch page at position 0
+        positions = jnp.asarray(
+            np.where(lengths > 0, lengths, 0), jnp.int32)
+        tokens = jnp.asarray(self.last_token)
+        page_table, _ = self.cache.device_views()
+
+        logits, new_pages = decode_step(
+            self.cfg, self.params, self.cache.pages, tokens, positions,
+            page_table, page_size=self.page_size, fmt=self.kv_format)
+        self.cache.pages = new_pages
+
+        self.key, sub = jax.random.split(self.key)
+        sampled = np.asarray(sample_tokens(logits, sub,
+                                           jnp.asarray(self.temps)))
+
+        out = {}
+        for slot in active:
+            self.cache.lengths[slot] += 1
+            tok = int(sampled[slot])
+            out[slot] = tok
+            self._record(slot, tok)
+        return out
+
+    def _record(self, slot: int, tok: int) -> None:
+        req = self.requests[slot]
+        req.generated.append(tok)
+        self.last_token[slot] = tok
+        if (req.eos_token is not None and tok == req.eos_token) or \
+                len(req.generated) >= req.max_new_tokens:
+            req.done = True
+
+    def collect_finished(self) -> List[Request]:
+        done = [r for r in self.requests.values() if r.done]
+        for r in done:
+            self.cache.free_slot(r.slot)
+            del self.requests[r.slot]
+        return done
+
+    def generate(self, prompts: List[List[int]], max_new_tokens: int,
+                 temperature: float = 0.0) -> List[List[int]]:
+        """Convenience batch API over the continuous-batching loop."""
+        reqs = [Request(p, max_new_tokens, temperature) for p in prompts]
+        pending = list(reqs)
+        while pending or self.requests:
+            while pending and np.count_nonzero(self.cache.lengths == 0) > 0 \
+                    and len(self.cache.free_pages) >= self.cache.pages_per_seq:
+                self.add_request(pending.pop(0))
+            if not self.requests:
+                break
+            self.step()
+            self.collect_finished()
+        return [r.generated for r in reqs]

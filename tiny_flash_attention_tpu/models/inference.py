@@ -1,0 +1,124 @@
+"""Inference forward paths: prefill (cache-filling) and paged decode step.
+
+Separated from transformer.py because these paths thread cache state and use
+the decode kernels; the training/eval `forward` stays cache-free.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tiny_flash_attention_tpu.models import transformer as T
+from tiny_flash_attention_tpu.models.kv_cache import _quant_rows
+from tiny_flash_attention_tpu.ops.flash import flash_attention
+from tiny_flash_attention_tpu.ops.paged_fused import fused_paged_decode_attention
+from tiny_flash_attention_tpu.ops import reference as R
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill_forward(cfg: T.ModelConfig, params: dict, tokens: jax.Array):
+    """tokens (1, L) -> (logits (1, L, V), k_layers, v_layers).
+
+    k_layers/v_layers: (n_layers, hkv, L, d) post-RoPE, ready for cache
+    writes. Runs the flash kernel causally over the full prompt.
+    """
+    b, s = tokens.shape
+    positions = jnp.arange(s, dtype=jnp.int32)
+    x = params["embed"][tokens].astype(cfg.dtype)
+
+    def body(x, layer):
+        q, k, v = T.qkv_proj(cfg, layer, x, positions)
+        o = T._attention(cfg, q, k, v, causal=True)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_q_heads * cfg.d_head)
+        x = x + T._proj(o, layer["wo"])
+        x = T.mlp_block(cfg, layer, x)
+        return x, (k[0], v[0])   # (hkv, s, d) for batch=1
+
+    x, (ks, vs) = jax.lax.scan(body, x, params["layers"])
+    x = T.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = T._proj(x, params["lm_head"]).astype(jnp.float32)
+    return logits, ks, vs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "page_size", "fmt"),
+                   donate_argnums=(2,))
+def decode_step(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
+                tokens: jax.Array, positions: jax.Array,
+                page_table: jax.Array, *, page_size: int, fmt: str):
+    """One decode step for all slots (fixed shape = continuous batching).
+
+    tokens (B,) int32: last sampled token per slot.
+    positions (B,) int32: index of this token (== old cache length).
+    page_table (B, pages_per_seq) int32.
+    Returns (logits (B, V), new_pages). Each layer appends its new KV row
+    into its page array BEFORE attending, so attention covers positions+1
+    tokens including the current one (causal decode semantics, ref
+    c/csrc/attn.cpp:51-53 kv_len = i + 1 + gap).
+    """
+    B = tokens.shape[0]
+    ps = page_size
+    x = params["embed"][tokens][:, None, :].astype(cfg.dtype)   # (B, 1, dm)
+    lengths = positions + 1
+    page_ids = jnp.take_along_axis(
+        page_table, (positions // ps)[:, None], axis=1)[:, 0]   # (B,)
+    rows = positions % ps
+
+    new_pages = []
+    for li in range(len(pages)):
+        layer = jax.tree_util.tree_map(lambda a: a[li], params["layers"])
+        q, k, v = T.qkv_proj(cfg, layer, x, positions[:, None])
+        # q (B, hq, 1, d); k/v (B, hkv, 1, d)
+        lp = _append_rows(pages[li], k[:, :, 0], v[:, :, 0], page_ids, rows,
+                          page_size=ps, fmt=fmt)
+        new_pages.append(lp)
+        ppb = math.gcd(8, page_table.shape[1])
+        o, _ = fused_paged_decode_attention(
+            q[:, :, 0], lp, lengths, page_table, page_size=ps,
+            pages_per_block=ppb)
+        o = o.reshape(B, 1, cfg.n_q_heads * cfg.d_head).astype(cfg.dtype)
+        x = x + T._proj(o, layer["wo"])
+        x = T.mlp_block(cfg, layer, x)
+
+    x = T.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = T._proj(x[:, 0], params["lm_head"]).astype(jnp.float32)
+    return logits, new_pages
+
+
+def _append_rows(pages, k_new, v_new, page_ids, rows, *, page_size, fmt):
+    """pages (hkv, np, prows, d); k_new/v_new (B, hkv, d)."""
+    ps = page_size
+    k_new = jnp.swapaxes(k_new, 0, 1)    # (hkv, B, d)
+    v_new = jnp.swapaxes(v_new, 0, 1)
+    if fmt == "int8":
+        kq, ks = _quant_rows(k_new)
+        vq, vs = _quant_rows(v_new)
+        ksb = jax.lax.bitcast_convert_type(ks, jnp.int8)   # (hkv, B, 4)
+        vsb = jax.lax.bitcast_convert_type(vs, jnp.int8)
+        pages = pages.at[:, page_ids, rows, :].set(kq)
+        pages = pages.at[:, page_ids, ps + rows, :].set(vq)
+        for j in range(4):
+            pages = pages.at[:, page_ids, 2 * ps + j, rows].set(ksb[..., j])
+            pages = pages.at[:, page_ids, 2 * ps + 4 + j, rows].set(
+                vsb[..., j])
+        return pages
+    pages = pages.at[:, page_ids, rows, :].set(k_new.astype(pages.dtype))
+    pages = pages.at[:, page_ids, ps + rows, :].set(v_new.astype(pages.dtype))
+    return pages
+
+
+@jax.jit
+def sample_tokens(logits: jax.Array, key: jax.Array,
+                  temperature: jax.Array) -> jax.Array:
+    """Greedy when temperature == 0, else categorical. temperature: scalar
+    or per-row (B,) against logits (..., V)."""
+    t = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32),
+                         logits.shape[:-1])
+    greedy = jnp.argmax(logits, axis=-1)
+    scaled = logits / jnp.maximum(t, 1e-6)[..., None]
+    sampled = jax.random.categorical(key, scaled, axis=-1)
+    return jnp.where(t <= 0.0, greedy, sampled).astype(jnp.int32)

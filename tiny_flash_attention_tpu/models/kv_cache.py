@@ -1,0 +1,202 @@
+"""Paged KV-cache manager: host-side page allocator + jitted device writes.
+
+Design (mirrors production paged-attention systems, re-shaped for TPU):
+  * pages are stored per layer as fused-format arrays (see ops/paged_fused:
+    one DMA fetches K+V payload and packed scales) — a list of per-layer
+    arrays, NOT one stacked array, so the decode loop never dynamic-slices
+    (= copies) a whole cache layer
+  * the allocator (free list, slot assignment) runs on the HOST — admission
+    control is host-side in serving systems anyway; only the hot paths
+    (prefill write, per-step token append) are jitted
+  * int8 pages quantize on write with per-token scales, bit-packed into the
+    page's scale rows exactly as ops/paged_fused.pack expects
+
+The reference's only persistent artifact is the LSE tensor (SURVEY.md sec. 5
+checkpoint row); "KV-cache save/restore counts as the inference analog" —
+this module is that subsystem.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiny_flash_attention_tpu.ops.quant import INT8_MAX
+
+
+@dataclasses.dataclass
+class PagedKVCache:
+    """Mutable host-side view of the paged cache. Device arrays inside are
+    replaced functionally by the jitted helpers; the wrapper mutates its own
+    references (host orchestration layer, not traced)."""
+    pages: List[jax.Array]          # per layer: (hkv, num_pages, rows, d)
+    page_table: np.ndarray          # (max_seqs, pages_per_seq) int32, host
+    lengths: np.ndarray             # (max_seqs,) int32, host
+    free_pages: list                # host free list of page ids
+    page_size: int
+    fmt: str                        # "bf16" | "int8"
+
+    # --- construction ---------------------------------------------------
+
+    @classmethod
+    def create(cls, *, n_layers: int, n_kv_heads: int, num_pages: int,
+               page_size: int, d_head: int, max_seqs: int,
+               pages_per_seq: int, fmt: str = "bf16",
+               dtype=jnp.bfloat16) -> "PagedKVCache":
+        if fmt == "int8":
+            assert page_size == d_head, "int8 fused pages need ps == d"
+            rows, pdtype = 2 * page_size + 8, jnp.int8
+        else:
+            rows, pdtype = 2 * page_size, dtype
+        pages = [jnp.zeros((n_kv_heads, num_pages, rows, d_head), pdtype)
+                 for _ in range(n_layers)]
+        return cls(
+            pages=pages,
+            page_table=np.zeros((max_seqs, pages_per_seq), np.int32),
+            lengths=np.zeros((max_seqs,), np.int32),
+            free_pages=list(range(num_pages - 1, -1, -1)),
+            page_size=page_size,
+            fmt=fmt,
+        )
+
+    @property
+    def max_seqs(self) -> int:
+        return self.page_table.shape[0]
+
+    @property
+    def pages_per_seq(self) -> int:
+        return self.page_table.shape[1]
+
+    # --- host-side allocator ---------------------------------------------
+
+    def alloc_slot(self, n_tokens_upper_bound: int) -> int:
+        """Reserves a free sequence slot + enough pages for the bound."""
+        free_slots = np.where(self.lengths == 0)[0]
+        assert free_slots.size, "no free sequence slots"
+        slot = int(free_slots[0])
+        n_pages = -(-n_tokens_upper_bound // self.page_size)
+        assert n_pages <= self.pages_per_seq, (n_pages, self.pages_per_seq)
+        assert len(self.free_pages) >= n_pages, "cache out of pages"
+        for i in range(n_pages):
+            self.page_table[slot, i] = self.free_pages.pop()
+        return slot
+
+    def grow_slot(self, slot: int, n_tokens: int) -> None:
+        """Ensures the slot has pages covering n_tokens (page count derived
+        from the current length — page id 0 is a valid id)."""
+        need = -(-n_tokens // self.page_size)
+        cur = -(-int(self.lengths[slot]) // self.page_size) if \
+            self.lengths[slot] else 0
+        for i in range(cur, need):
+            assert self.free_pages, "cache out of pages"
+            self.page_table[slot, i] = self.free_pages.pop()
+
+    def free_slot(self, slot: int) -> None:
+        n_pages = -(-int(self.lengths[slot]) // self.page_size)
+        for i in range(n_pages):
+            self.free_pages.append(int(self.page_table[slot, i]))
+            self.page_table[slot, i] = 0
+        self.lengths[slot] = 0
+
+    # --- jitted device writes ---------------------------------------------
+
+    def write_prefill(self, slot: int, k_layers: jax.Array,
+                      v_layers: jax.Array) -> None:
+        """Writes a prompt's KV into the slot's pages.
+
+        k_layers, v_layers: (n_layers, hkv, L, d); L padded to page_size
+        multiples by the caller (garbage rows beyond the true length are
+        fine — lengths masking hides them).
+        """
+        L = k_layers.shape[2]
+        assert L % self.page_size == 0, L
+        n_pages = L // self.page_size
+        page_ids = jnp.asarray(self.page_table[slot, :n_pages])
+        for li in range(len(self.pages)):
+            self.pages[li] = _write_prefill_layer(
+                self.pages[li], k_layers[li], v_layers[li], page_ids,
+                page_size=self.page_size, fmt=self.fmt)
+
+    def append_tokens(self, slots: np.ndarray, k_new: jax.Array,
+                      v_new: jax.Array) -> None:
+        """Appends one token per active slot (the decode-step write).
+
+        slots: (B,) host ints; k_new/v_new: (n_layers, hkv, B, d). Uses the
+        CURRENT lengths as write positions, then advances them.
+        """
+        positions = jnp.asarray(self.lengths[slots], jnp.int32)
+        pages = jnp.asarray(
+            self.page_table[slots, np.asarray(self.lengths[slots])
+                            // self.page_size])
+        rows = positions % self.page_size
+        for li in range(len(self.pages)):
+            self.pages[li] = _append_layer(
+                self.pages[li], k_new[li], v_new[li], pages, rows,
+                page_size=self.page_size, fmt=self.fmt)
+        self.lengths[slots] += 1
+
+    def device_views(self):
+        """(page_table, lengths) as device arrays for the decode kernel."""
+        return jnp.asarray(self.page_table), jnp.asarray(self.lengths)
+
+
+# --- jitted helpers -----------------------------------------------------------
+
+
+def _quant_rows(x):
+    """(..., d) -> (int8 payload, f32 scale (...,))"""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0.0, 1.0, amax / INT8_MAX)
+    vals = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                    -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return vals, scale[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "fmt"),
+                   donate_argnums=(0,))
+def _write_prefill_layer(pages, k, v, page_ids, *, page_size, fmt):
+    """pages (hkv, np, rows, d); k/v (hkv, L, d); page_ids (n_pages,)."""
+    hkv, L, d = k.shape
+    n = L // page_size
+    kp = k.reshape(hkv, n, page_size, d)
+    vp = v.reshape(hkv, n, page_size, d)
+    if fmt == "int8":
+        kq, ks = _quant_rows(kp)
+        vq, vs = _quant_rows(vp)
+        ksb = jnp.swapaxes(jax.lax.bitcast_convert_type(ks, jnp.int8), -1, -2)
+        vsb = jnp.swapaxes(jax.lax.bitcast_convert_type(vs, jnp.int8), -1, -2)
+        fused = jnp.concatenate([kq, vq, ksb, vsb], axis=-2)
+    else:
+        fused = jnp.concatenate([kp, vp], axis=-2).astype(pages.dtype)
+    # scatter pages: (hkv, n, rows, d) into pages[:, page_ids]
+    return pages.at[:, page_ids].set(fused)
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "fmt"),
+                   donate_argnums=(0,))
+def _append_layer(pages, k_new, v_new, page_ids, rows, *, page_size, fmt):
+    """pages (hkv, np, prows, d); k_new/v_new (hkv, B, d); page_ids/rows (B,)."""
+    ps = page_size
+
+    if fmt == "int8":
+        kq, ks = _quant_rows(k_new)           # (hkv, B, d), (hkv, B)
+        vq, vs = _quant_rows(v_new)
+        ksb = jax.lax.bitcast_convert_type(ks, jnp.int8)   # (hkv, B, 4)
+        vsb = jax.lax.bitcast_convert_type(vs, jnp.int8)
+        # payload rows
+        pages = pages.at[:, page_ids, rows, :].set(kq)
+        pages = pages.at[:, page_ids, ps + rows, :].set(vq)
+        # scale bytes: rows 2ps+j (K) and 2ps+4+j (V), lane = token row
+        for j in range(4):
+            pages = pages.at[:, page_ids, 2 * ps + j, rows].set(ksb[..., j])
+            pages = pages.at[:, page_ids, 2 * ps + 4 + j, rows].set(
+                vsb[..., j])
+        return pages
+    pages = pages.at[:, page_ids, rows, :].set(k_new.astype(pages.dtype))
+    pages = pages.at[:, page_ids, ps + rows, :].set(v_new.astype(pages.dtype))
+    return pages

@@ -122,7 +122,14 @@ def rope(x, positions, theta):
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
 
 
+# Pluggable attention overrides (e.g. the shard_map island installed by
+# parallel.train.make_train_step under the "island" key).
+ATTN_OVERRIDE: dict = {}
+
+
 def _attention(cfg: ModelConfig, q, k, v, *, causal=True):
+    if cfg.attn_impl in ATTN_OVERRIDE and ATTN_OVERRIDE[cfg.attn_impl]:
+        return ATTN_OVERRIDE[cfg.attn_impl](q, k, v, causal=causal)
     if cfg.attn_impl == "flash":
         return flash_attention(q, k, v, causal=causal)
     return R.mha_reference(q, k, v, causal=causal,

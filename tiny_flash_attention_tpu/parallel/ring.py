@@ -1,0 +1,142 @@
+"""Context parallelism: ring attention, Ulysses, and all-gather modes.
+
+The reference's KV-streaming inner loop (cutlass flash_attention.cu:549-606)
+is the intra-chip analog of ring attention (SURVEY.md section 5 long-context
+row): here the same online-softmax block merge runs ACROSS chips. Three
+sequence-sharding modes, all over a mesh 'ctx' axis:
+
+  * ring_attention: K/V shards rotate around the ring via `ppermute` while
+    each chip runs the local Pallas flash kernel on the block in front of it;
+    partial (out, lse) pairs merge with the cross-block log-sum-exp combine.
+    Point-to-point ICI traffic, overlappable with compute. Causal handled
+    per ring step: earlier-source blocks attend fully, the diagonal block
+    causally, later blocks are skipped (lax.switch over three kernels).
+  * ulysses_attention: all-to-all redistributes heads <-> sequence so each
+    chip sees the FULL sequence for a head subset, runs plain causal flash,
+    and all-to-alls back. Two collectives, exact causal semantics.
+  * allgather_attention: the bandwidth-simple mode — gather all KV shards,
+    local flash (non-causal only; ring covers causal CP).
+
+All modes are forward paths (serving / long-context prefill); the GSPMD
+training step handles training-side sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tiny_flash_attention_tpu.ops.flash import flash_attention
+
+
+def _merge(o, lse, o_i, lse_i):
+    """Cross-block online-softmax combine of normalized partials."""
+    lse_new = jnp.logaddexp(lse, lse_i)
+    w_old = jnp.exp(lse - lse_new)[..., None]
+    w_new = jnp.exp(lse_i - lse_new)[..., None]
+    # exp(-inf - -inf) -> nan guard for rows nobody has touched yet
+    w_old = jnp.where(jnp.isnan(w_old), 0.0, w_old)
+    w_new = jnp.where(jnp.isnan(w_new), 0.0, w_new)
+    return o * w_old + o_i.astype(o.dtype) * w_new, lse_new
+
+
+def make_ring_attention(mesh: Mesh, *, axis_name: str = "ctx",
+                        causal: bool = True,
+                        sm_scale: Optional[float] = None):
+    """Returns ring(q, k, v) for shard_map use: all inputs are LOCAL
+    sequence shards (b, h, s_local, d); output is the local shard of the
+    exact global attention."""
+    n = mesh.shape[axis_name]
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def ring(q, k, v):
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
+            q.shape[-1])
+        idx = jax.lax.axis_index(axis_name)
+        lse = jnp.full(q.shape[:3], -jnp.inf, jnp.float32)
+        o = jnp.zeros(q.shape, jnp.float32)
+        kb, vb = k, v
+
+        def full_fn(q, kb, vb):
+            return flash_attention(q, kb, vb, causal=False, sm_scale=scale,
+                                   return_lse=True)
+
+        def diag_fn(q, kb, vb):
+            return flash_attention(q, kb, vb, causal=True, sm_scale=scale,
+                                   return_lse=True)
+
+        def skip_fn(q, kb, vb):
+            return (jnp.zeros(q.shape, q.dtype),
+                    jnp.full(q.shape[:3], -jnp.inf, jnp.float32))
+
+        for step in range(n):
+            src = (idx - step) % n  # ring shard this kb/vb originated from
+            if causal:
+                branch = jnp.where(src == idx, 1,
+                                   jnp.where(src < idx, 0, 2))
+                o_i, lse_i = jax.lax.switch(
+                    branch, [full_fn, diag_fn, skip_fn], q, kb, vb)
+            else:
+                o_i, lse_i = full_fn(q, kb, vb)
+            o, lse = _merge(o, lse, o_i, lse_i)
+            if step < n - 1:
+                kb = jax.lax.ppermute(kb, axis_name, perm)
+                vb = jax.lax.ppermute(vb, axis_name, perm)
+        return o.astype(q.dtype)
+
+    return ring
+
+
+def ring_attention_sharded(mesh: Mesh, *, causal: bool = True,
+                           sm_scale: Optional[float] = None,
+                           data_axis: str = "data",
+                           ctx_axis: str = "model"):
+    """jit-ready wrapper: q/k/v (b, h, S, d) with S sharded on ctx_axis."""
+    ring = make_ring_attention(mesh, axis_name=ctx_axis, causal=causal,
+                               sm_scale=sm_scale)
+    spec = P(data_axis, None, ctx_axis, None)
+    return jax.jit(jax.shard_map(
+        ring, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False))
+
+
+def make_ulysses_attention(mesh: Mesh, *, axis_name: str = "ctx",
+                           causal: bool = True,
+                           sm_scale: Optional[float] = None):
+    """Returns ulysses(q, k, v): inputs are local sequence shards
+    (b, h, s_local, d) with h % axis_size == 0; internally all-to-alls to
+    (b, h/n, S, d), runs exact causal flash, and transposes back."""
+    n = mesh.shape[axis_name]
+
+    def ulysses(q, k, v):
+        def scatter_heads(x):
+            # (b, h, s_local, d) -> (b, h/n, S, d)
+            return jax.lax.all_to_all(x, axis_name, split_axis=1,
+                                      concat_axis=2, tiled=True)
+
+        def gather_heads(x):
+            return jax.lax.all_to_all(x, axis_name, split_axis=2,
+                                      concat_axis=1, tiled=True)
+
+        qh, kh, vh = scatter_heads(q), scatter_heads(k), scatter_heads(v)
+        oh = flash_attention(qh, kh, vh, causal=causal, sm_scale=sm_scale)
+        return gather_heads(oh)
+
+    return ulysses
+
+
+def make_allgather_attention(mesh: Mesh, *, axis_name: str = "ctx",
+                             sm_scale: Optional[float] = None):
+    """Non-causal all-gather context parallelism: gather KV, local flash."""
+    def ag(q, k, v):
+        k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
+        v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+        return flash_attention(q, k_full, v_full, causal=False,
+                               sm_scale=sm_scale)
+
+    return ag

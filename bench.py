@@ -41,8 +41,8 @@ def main():
     v = jax.random.normal(kv, (BS, HKV, SEQ, DIM), jnp.bfloat16)
 
     flash = jax.jit(functools.partial(flash_attention, causal=True))
-    r_flash = run_benchmark(flash, q, k, v)
-    r_naive = run_benchmark(jax.jit(naive_attention), q, k, v)
+    r_flash = run_benchmark(flash, q, k, v, rounds=6)
+    r_naive = run_benchmark(jax.jit(naive_attention), q, k, v, rounds=6)
 
     flops = attention_flops(BS, HQ, SEQ, SEQ, DIM, causal=True)
     tflops = flops / (r_flash["min_ms"] / 1e3) / 1e12

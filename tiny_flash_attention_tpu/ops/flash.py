@@ -4,29 +4,34 @@ Brand-new TPU design of the capability the reference implements three times
 (triton flash_attention_py/tiny_flash_attn_triton.py:49-207; raw CUDA
 flash_attention_cuda/csrc/flash_attention.cu:16-156; CUTLASS/CuTe
 flash_attention_cutlass/csrc/flash_attention.cu:373-685). Nothing is
-translated: where the CUDA tiers hand-build smem tiles, cp.async pipelines and
-warp shuffles, here the HBM->VMEM tile pipeline is expressed with BlockSpecs
-(Pallas/Mosaic inserts the double-buffered DMAs), the MXU runs both matmuls
-via `jax.lax.dot_general` with fp32 accumulation, and the online-softmax state
-(m, l, acc) lives in VMEM scratch that persists across the KV grid dimension.
+translated: where the CUDA tiers hand-build smem tiles, cp.async pipelines
+and warp shuffles, here the HBM->VMEM tile pipeline is expressed with
+BlockSpecs (Mosaic inserts the double-buffered DMAs), the MXU runs both
+matmuls with fp32 accumulation, and the online-softmax state (m, l, acc)
+lives in VMEM scratch persisting across the sequential grid dimension.
 
-Decomposition (same math, TPU-shaped):
-  grid = (batch, q_heads, q_len/block_q, kv_len/block_kv)
-         -- the first three dims are "parallel" (megacore-splittable), the KV
-            dim is "arbitrary": it is the online-softmax reduction, the analog
-            of the CUDA kernels' inner nbi loop (cutlass :549-606).
-  per step: s = q @ k^T (MXU, f32 acc) -> causal/length mask -> running
-            max/sum rescale (VPU, f32) -> p @ v accumulate (MXU).
-  epilogue on the last KV step: acc / l, LSE = m + log(l)
-            (ref cutlass :617-630, triton :191-197).
+Three TPU-specific design decisions carry the performance:
 
-Causal handling is two-level exactly like the reference: whole KV tiles above
-the diagonal are skipped (`pl.when`; ref block-range clamp cutlass :536-540)
-and the diagonal tile is masked elementwise with broadcasted iotas (ref
-per-element `tl.where`, triton :151-152). Decode-shaped q_len != kv_len is
-supported through the row-position offset (ref c/csrc/attn.cpp:51-53). GQA
-maps each q head to its kv group purely in the K/V BlockSpec index maps (ref
-archive attn.cpp:140 head_group_id) — zero data movement.
+  1. WORK-LIST GRID. Causality is enforced by the grid itself, not by
+     skipping tiles at run time: a scalar-prefetched work list enumerates
+     exactly the (q_block, kv_block) pairs on or below the diagonal, so
+     above-diagonal tiles cost neither DMA nor compute (the reference
+     clamps its loop bound the same way, cutlass :536-540 — but its grid
+     shape can depend on blockIdx, a Pallas grid cannot, hence the
+     PrefetchScalarGridSpec indirection).
+  2. GQA FOLDING. The q heads of one GQA group are folded into the q tile's
+     row dimension, so each K/V tile is fetched once per KV HEAD, not once
+     per q head — a group_size x reduction in cache bandwidth (the archived
+     CPU tier indexes heads the same way, archive attn.cpp:140; here it
+     buys DMA, not just indexing).
+  3. MASK ONLY THE DIAGONAL. Only work items straddling the diagonal (or a
+     padded tail) pay the iota/compare/select mask; interior tiles run the
+     pure dot-softmax-dot pipeline (triton applies tl.where everywhere,
+     :151-152 — on TPU the VPU mask cost is worth branching away).
+
+Numerics: fp32 running max/sum, mask value -0.7*f32max (never -inf, ref
+cutlass :228), empty-row guard (ref cutlass :620), LSE = m + log(l) output
+for the backward (ref cutlass :756-759, triton :189-197).
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,99 +50,137 @@ from tiny_flash_attention_tpu.ops.configs import FlashConfig, default_config, LA
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+_FIRST, _LAST, _MASKED = 1, 2, 4
+
+
+def _build_worklist(n_q: int, n_kv: int, block_q: int, block_kv: int,
+                    q_len: int, kv_len: int, causal: bool):
+    """Static (qi, kvi, flags) triples: the tiles that actually run.
+
+    For causal attention this is the on-or-below-diagonal triangle; rows of
+    q blocks with no visible KV still get one (masked) item so their output
+    is written (zeros via the empty-row guard).
+    """
+    offset = kv_len - q_len
+    kv_pad = n_kv * block_kv != kv_len
+    qis, kvis, flags = [], [], []
+    for qi in range(n_q):
+        if causal:
+            last_pos = qi * block_q + block_q - 1 + offset
+            hi = min(n_kv, max(1, -(-(last_pos + 1) // block_kv)))
+        else:
+            hi = n_kv
+        for j in range(hi):
+            f = 0
+            if j == 0:
+                f |= _FIRST
+            if j == hi - 1:
+                f |= _LAST
+            fully_valid = True
+            if causal:
+                # valid for every row iff valid for the tile's first row
+                fully_valid = (j * block_kv + block_kv - 1
+                               <= qi * block_q + offset)
+            if kv_pad and (j + 1) * block_kv > kv_len:
+                fully_valid = False
+            if not fully_valid:
+                f |= _MASKED
+            qis.append(qi)
+            kvis.append(j)
+            flags.append(f)
+    return (np.asarray(qis, np.int32), np.asarray(kvis, np.int32),
+            np.asarray(flags, np.int32))
+
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref,          # inputs (VMEM tiles)
-    o_ref, lse_ref,               # outputs
-    m_scr, l_scr, acc_scr,        # VMEM scratch, persistent over the KV dim
+    # scalar prefetch
+    qi_ref, kvi_ref, flags_ref,
+    # inputs
+    q_ref, k_ref, v_ref,
+    # outputs
+    o_ref, lse_ref,
+    # scratch
+    m_scr, l_scr, acc_scr,
     *,
     causal: bool,
     sm_scale: float,
-    n_kv: int,
     block_q: int,
     block_kv: int,
+    group: int,
     q_len: int,
     kv_len: int,
-    kv_pad: bool,
+    any_masked: bool,
 ):
-    qi = pl.program_id(2)
-    kvi = pl.program_id(3)
-    offset = kv_len - q_len  # decode-shape row offset
+    t = pl.program_id(2)
+    qi = qi_ref[t]
+    kvi = kvi_ref[t]
+    flags = flags_ref[t]
+    rows = group * block_q
+    offset = kv_len - q_len
 
-    @pl.when(kvi == 0)
+    @pl.when(flags & _FIRST != 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if causal:
-        # Tile-level skip: the tile's first KV column must not exceed the
-        # last Q row's absolute position (ref cutlass n_block_max clamp
-        # :536-540 / triton loop bound hi :140).
-        should_run = kvi * block_kv <= (qi + 1) * block_q - 1 + offset
-    else:
-        should_run = True
-
-    # fp32 inputs must not silently run through bf16 MXU passes (the TPU
-    # default); bf16 inputs already accumulate in fp32 via
-    # preferred_element_type so default precision is exact for them.
     precision = (jax.lax.Precision.HIGHEST
                  if q_ref.dtype == jnp.float32 else None)
 
-    @pl.when(should_run)
-    def _step():
-        q = q_ref[0, 0]  # (block_q, d)
-        k = k_ref[0, 0]  # (block_kv, d)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # (block_q, block_kv)
-        s *= sm_scale
+    # q tile is (1, group, block_q, d): the GQA group's heads fetched as one
+    # contiguous 4-D block, merged into rows with a free sublane reshape
+    q = q_ref[0].reshape(rows, q_ref.shape[-1])
+    k = k_ref[0, 0]  # (block_kv, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    s *= sm_scale
 
-        need_col_mask = kv_pad or causal
-        if need_col_mask:
-            col = kvi * block_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 1)
-            mask = col < kv_len if kv_pad else None
-            if causal:
-                row = qi * block_q + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_kv), 0) + offset
-                cmask = col <= row
-                mask = cmask if mask is None else (mask & cmask)
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    # Static mask specialization: a run-time branch (lax.cond) stalls the
+    # Mosaic pipeline (~30% measured), and per-tile predication saves less
+    # than the unconditional VPU mask costs (~9%), so when any work item
+    # needs masking the whole compiled instance masks.
+    if any_masked:
+        col = kvi * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, block_kv), 1)
+        valid = col < kv_len
+        if causal:
+            # folded row r belongs to head-group g = r // block_q at
+            # position qi*block_q + (r % block_q); block_q is a power of
+            # two so the mod lowers to a bitwise and
+            r = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 0)
+            pos = qi * block_q + (r % block_q) + offset
+            valid &= col <= pos
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scr[...]                         # (block_q, LANES)
-        l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)   # (block_q, 1)
-        m_next = jnp.maximum(m_prev, m_cur)         # lanes all equal
-        alpha = jnp.exp(m_prev - m_next)            # correction for old stats
-        p = jnp.exp(s - m_next[:, :1])
-        if need_col_mask:
-            # Fully-masked-tile guard: while m is still at the mask floor
-            # (nothing valid seen), exp(s - m) would be 1 per masked column;
-            # zero the contribution instead (ref cutlass :620 empty-row case).
-            p *= m_next[:, :1] > 0.5 * DEFAULT_MASK_VALUE
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
+    m_prev = m_scr[...]
+    l_prev = l_scr[...]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    if any_masked:
+        # fully-masked-row guard: while m is at the mask floor, exp(s - m)
+        # = 1 per masked column; zero it (ref cutlass :620 empty-row case)
+        p *= m_next[:, :1] > 0.5 * DEFAULT_MASK_VALUE
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[...] = m_next
+    l_scr[...] = l_next
 
-        v = v_ref[0, 0]  # (block_kv, d)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+    v = v_ref[0, 0]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(kvi == n_kv - 1)
+    @pl.when(flags & _LAST != 0)
     def _epilogue():
         l = l_scr[:, :1]
-        # Empty/NaN row guard (ref cutlass :620 `sum == 0.f || sum != sum`).
         l_safe = jnp.where((l == 0.0) | jnp.isnan(l), 1.0, l)
-        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        # LSE stays sublane-oriented (block_q, 1): no transpose, no padding.
-        lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l_safe)).astype(lse_ref.dtype)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype).reshape(
+            o_ref.shape[1:])
+        lse_ref[0] = (m_scr[:, :1] + jnp.log(l_safe)).astype(
+            lse_ref.dtype).reshape(lse_ref.shape[1:])
 
 
 def _flash_fwd_impl(q, k, v, causal, sm_scale, config):
@@ -145,76 +189,80 @@ def _flash_fwd_impl(q, k, v, causal, sm_scale, config):
     _, hkv, kv_len, dk = k.shape
     assert dk == d and v.shape == k.shape, (q.shape, k.shape, v.shape)
     group = hq // hkv
-    block_q, block_kv = config.block_q, config.block_kv
+    # Keep the folded q tile (group*block_q rows) near the configured size.
+    block_q = max(LANES, _round_up(config.block_q // group, LANES))
+    block_q = min(block_q, _round_up(q_len, LANES))
+    block_kv = min(config.block_kv, _round_up(kv_len, LANES))
 
-    # Pad to tile multiples. Zero-padded head_dim columns are exact (they add
-    # zero to every dot product); padded Q rows are sliced off; padded KV rows
-    # are masked with DEFAULT_MASK_VALUE inside the kernel.
     d_pad = _round_up(d, LANES)
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_kv)
-    q = _pad(q, (0, 0, q_pad - q_len, d_pad - d))
-    k = _pad(k, (0, 0, kv_pad - kv_len, d_pad - d))
-    v = _pad(v, (0, 0, kv_pad - kv_len, d_pad - d))
     n_q, n_kv = q_pad // block_q, kv_pad // block_kv
+    rows = group * block_q
+
+    q = _pad4(q, q_pad, d_pad)
+    k = _pad4(k, kv_pad, d_pad)
+    v = _pad4(v, kv_pad, d_pad)
+
+    qis, kvis, flags = _build_worklist(
+        n_q, n_kv, block_q, block_kv, q_len, kv_len, causal)
+    T = len(qis)
+    any_masked = bool((flags & _MASKED).any())
 
     kernel = functools.partial(
-        _fwd_kernel,
-        causal=causal,
-        sm_scale=sm_scale,
-        n_kv=n_kv,
-        block_q=block_q,
-        block_kv=block_kv,
-        q_len=q_len,
-        kv_len=kv_len,
-        kv_pad=kv_pad != kv_len,
+        _fwd_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
+        block_kv=block_kv, group=group, q_len=q_len, kv_len=kv_len,
+        any_masked=any_masked)
+
+    flops_mask = 0.5 if causal else 1.0
+    cost = pl.CostEstimate(
+        flops=int(4 * bs * hq * q_len * kv_len * d * flops_mask),
+        bytes_accessed=int((2 * q.size + k.size + v.size) * q.dtype.itemsize),
+        transcendentals=int(bs * hq * q_len * kv_len * flops_mask),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bs, hkv, T),
+        in_specs=[
+            # the GQA group's q heads arrive as one 4-D block: block index
+            # h along the head dim selects heads [h*group, (h+1)*group)
+            pl.BlockSpec((1, group, block_q, d_pad),
+                         lambda b, h, t, qi, kvi, fl: (b, h, qi[t], 0)),
+            pl.BlockSpec((1, 1, block_kv, d_pad),
+                         lambda b, h, t, qi, kvi, fl: (b, h, kvi[t], 0)),
+            pl.BlockSpec((1, 1, block_kv, d_pad),
+                         lambda b, h, t, qi, kvi, fl: (b, h, kvi[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, group, block_q, d_pad),
+                         lambda b, h, t, qi, kvi, fl: (b, h, qi[t], 0)),
+            pl.BlockSpec((1, group, block_q, 1),
+                         lambda b, h, t, qi, kvi, fl: (b, h, qi[t], 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.float32),   # running max m
+            pltpu.VMEM((rows, LANES), jnp.float32),   # running sum l
+            pltpu.VMEM((rows, d_pad), jnp.float32),   # output accumulator
+        ],
     )
 
     compiler_params = None
     if config.use_dimension_semantics:
         compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        )
-
-    flops_mask = 0.5 if causal else 1.0
-    cost = pl.CostEstimate(
-        flops=int(4 * bs * hq * q_len * kv_len * d * flops_mask),
-        bytes_accessed=int(
-            q.size * q.dtype.itemsize
-            + (k.size + v.size) * k.dtype.itemsize * (hq // hkv)
-            + q.size * q.dtype.itemsize),
-        transcendentals=int(bs * hq * q_len * kv_len * flops_mask),
-    )
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
 
     out, lse = pl.pallas_call(
         kernel,
-        grid=(bs, hq, n_q, n_kv),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d_pad),
-                         lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, d_pad),
-                         lambda b, h, i, j, g=group: (b, h // g, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, d_pad),
-                         lambda b, h, i, j, g=group: (b, h // g, j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d_pad),
-                         lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
-        ],
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bs, hq, q_pad, d_pad), q.dtype),
             jax.ShapeDtypeStruct((bs, hq, q_pad, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),   # running max m
-            pltpu.VMEM((block_q, LANES), jnp.float32),   # running sum l
-            pltpu.VMEM((block_q, d_pad), jnp.float32),   # output accumulator
-        ],
         compiler_params=compiler_params,
         cost_estimate=cost,
         interpret=config.interpret,
-    )(q, k, v)
+    )(jnp.asarray(qis), jnp.asarray(kvis), jnp.asarray(flags), q, k, v)
 
     return out[:, :, :q_len, :d], lse[:, :, :q_len, 0]
 
@@ -296,8 +344,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pad(x: jax.Array, pad_last2):
-    p2, p3 = pad_last2[2], pad_last2[3]
-    if p2 == 0 and p3 == 0:
+def _pad4(x: jax.Array, s_to: int, d_to: int):
+    ps, pd = s_to - x.shape[2], d_to - x.shape[3]
+    if ps == 0 and pd == 0:
         return x
-    return jnp.pad(x, ((0, 0), (0, 0), (0, p2), (0, p3)))
+    return jnp.pad(x, ((0, 0), (0, 0), (0, ps), (0, pd)))

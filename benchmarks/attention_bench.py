@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark suite over the BASELINE.json configs (one JSON line each).
+
+The consolidated counterpart of the reference's per-backend drivers
+(flash_attention_cutlass/test.py:51-76, flash_attention_cuda/
+self_attention.py:29-89, tiny_flash_attn_triton.py:219-244): warmup/epoch
+timing vs the naive-XLA baseline, plus decode tokens/s for the paged-cache
+configs. Run: python benchmarks/attention_bench.py
+"""
+
+import functools
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiny_flash_attention_tpu.ops.flash import flash_attention
+from tiny_flash_attention_tpu.ops import quant as Q
+from tiny_flash_attention_tpu.ops.flash_quant import flash_attention_quantized
+from tiny_flash_attention_tpu.ops.paged_fused import (
+    fused_paged_decode_attention, pack_paged_cache)
+from tiny_flash_attention_tpu.utils.benchmarking import (
+    run_benchmark, attention_flops)
+
+
+def emit(metric, value, unit, vs_baseline=None):
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if vs_baseline is not None:
+        rec["vs_baseline"] = round(vs_baseline, 3)
+    print(json.dumps(rec))
+
+
+def naive(q, k, v, causal):
+    group = q.shape[1] // k.shape[1]
+    k = jnp.repeat(k, group, axis=1)
+    v = jnp.repeat(v, group, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s / np.sqrt(q.shape[-1])
+    if causal:
+        mask = jnp.tril(jnp.ones((q.shape[2], k.shape[2]), bool))
+        s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def bench_fwd(name, bs, hq, hkv, s_len, d, dtype, causal):
+    kq, kk, kv = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(kq, (bs, hq, s_len, d), dtype)
+    k = jax.random.normal(kk, (bs, hkv, s_len, d), dtype)
+    v = jax.random.normal(kv, (bs, hkv, s_len, d), dtype)
+    f = jax.jit(functools.partial(flash_attention, causal=causal))
+    r = run_benchmark(f, q, k, v, rounds=5)
+    rn = run_benchmark(jax.jit(functools.partial(naive, causal=causal)),
+                       q, k, v, rounds=5)
+    fl = attention_flops(bs, hq, s_len, s_len, d, causal)
+    emit(name, fl / (r["min_ms"] / 1e3) / 1e12, "TFLOPs/s",
+         rn["min_ms"] / r["min_ms"])
+
+
+def bench_fp8_prefill():
+    # config 3: FP8 QK/PV fused dequant, chunked prefill s=32k (chunks of 4k
+    # q rows against the full 32k KV — decode-shaped causal offsets)
+    bs, hq, hkv, S, d, chunk = 1, 8, 2, 32768, 128, 4096
+    kq, kk, kv = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(kq, (bs, hq, chunk, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (bs, hkv, S, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (bs, hkv, S, d), jnp.bfloat16)
+    kq8, vq8 = Q.quantize_kv(k, v, "fp8")
+    f = jax.jit(functools.partial(flash_attention_quantized, causal=True))
+    r = run_benchmark(f, q, kq8, vq8, rounds=5)
+    fb = jax.jit(functools.partial(flash_attention, causal=True))
+    rb = run_benchmark(fb, q, k, v, rounds=5)
+    fl = attention_flops(bs, hq, chunk, S, d, causal=False) // 1  # ~full
+    emit("fp8_kv_chunked_prefill_s32k_tflops", fl / (r["min_ms"] / 1e3) / 1e12,
+         "TFLOPs/s", rb["min_ms"] / r["min_ms"])
+
+
+def bench_paged_decode(fmt):
+    # config 2: paged KV decode, seqlen 8k
+    batch, hkv, hq, d, page, pps = 8, 2, 8, 128, 128, 64
+    num_pages = batch * pps + 7
+    kk, kv2 = jax.random.split(jax.random.key(2))
+    k_pages = jax.random.normal(kk, (hkv, num_pages, page, d), jnp.bfloat16)
+    v_pages = jax.random.normal(kv2, (hkv, num_pages, page, d), jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    page_indices = jnp.asarray(rng.permutation(num_pages)[:batch * pps]
+                               .reshape(batch, pps).astype(np.int32))
+    lengths = jnp.full((batch,), 8192, jnp.int32)
+    q = jax.random.normal(jax.random.key(3), (batch, hq, d), jnp.bfloat16)
+    fused = pack_paged_cache(
+        k_pages.astype(jnp.float32) if fmt == "int8" else k_pages,
+        v_pages.astype(jnp.float32) if fmt == "int8" else v_pages, fmt)
+    f = jax.jit(functools.partial(fused_paged_decode_attention,
+                                  page_size=page, pages_per_block=8))
+    r = run_benchmark(f, q, fused, lengths, page_indices, rounds=5)
+    toks_per_step = batch
+    emit(f"paged_decode_{fmt}_s8k_steps_per_s", 1e3 / r["min_ms"], "steps/s")
+    bytes_kv = 8192 * batch * hkv * d * 2 * (1 if fmt == "int8" else 2)
+    emit(f"paged_decode_{fmt}_s8k_kv_bandwidth",
+         bytes_kv / (r["min_ms"] / 1e3) / 1e9, "GB/s")
+
+
+def main():
+    # config 0: fp32 single-head (reference tiny_flash_attn shape)
+    bench_fwd("cfg0_fp32_s128_d64_tflops", 1, 1, 1, 128, 64, jnp.float32,
+              False)
+    # config 1 (headline): bf16 GQA causal s2048 d128
+    bench_fwd("cfg1_bf16_gqa_causal_s2048_d128_tflops", 2, 8, 2, 2048, 128,
+              jnp.bfloat16, True)
+    # larger: s4096
+    bench_fwd("bf16_gqa_causal_s4096_d128_tflops", 1, 8, 2, 4096, 128,
+              jnp.bfloat16, True)
+    # config 2: paged decode
+    bench_paged_decode("bf16")
+    bench_paged_decode("int8")
+    # config 3: fp8 chunked prefill
+    bench_fp8_prefill()
+
+
+if __name__ == "__main__":
+    main()

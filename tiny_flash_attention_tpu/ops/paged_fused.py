@@ -37,6 +37,16 @@ from tiny_flash_attention_tpu.ops.quant import INT8_MAX
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+_LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
+
+
+def _widen(stat, width):
+    """Widen a (rows, 128) stat to `width` lanes; see ops/paged.py."""
+    if width % 128 == 0:
+        return jnp.tile(stat, (1, width // 128))
+    return stat[:, :1]
+
 
 # --- page packing -------------------------------------------------------------
 
@@ -142,7 +152,11 @@ def _fused_decode_kernel(
         for c in copies(b, i, h, slot):
             c.wait()
 
+        # sm_scale*log2(e) folded into the tiny (G, d) q tile; stats run in
+        # the log2 domain (exp2) and widen via jnp.tile, not 1-lane slice
+        # broadcasts (see ops/flash.py).
         q = q_ref[0, 0]                                     # (G, d)
+        q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
 
         if quantized:
             # per-page dots with the scale folded into the score columns
@@ -161,7 +175,6 @@ def _fused_decode_kernel(
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        s *= sm_scale
 
         col = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
@@ -169,9 +182,9 @@ def _fused_decode_kernel(
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p_ = jnp.exp(s - m_next[:, :1])
-        p_ *= m_next[:, :1] > 0.5 * DEFAULT_MASK_VALUE
+        alpha = jnp.exp2(m_prev - m_next)
+        p_ = jnp.exp2(s - _widen(m_next, bk))
+        p_ *= _widen(m_next > 0.5 * DEFAULT_MASK_VALUE, bk)
         l_next = alpha * l_prev + jnp.sum(p_, axis=1, keepdims=True)
         m_scr[...], l_scr[...] = m_next, l_next
 
@@ -190,15 +203,17 @@ def _fused_decode_kernel(
             pv = jax.lax.dot_general(
                 p_.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        d_acc = acc_scr.shape[-1]
+        acc_scr[...] = acc_scr[...] * _widen(alpha, d_acc) + pv
 
         @pl.when(i == n_blocks - 1)
         def _epilogue():
-            l = l_scr[:, :1]
+            l = l_scr[...]
             l_safe = jnp.where((l == 0.0) | jnp.isnan(l), 1.0, l)
-            o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-            lse_ref[0, 0] = (m_scr[:, :1] + jnp.log(l_safe)).astype(
-                lse_ref.dtype)
+            o_ref[0, 0] = (acc_scr[...] / _widen(l_safe, d_acc)).astype(
+                o_ref.dtype)
+            lse_ref[0, 0] = (m_scr[:, :1] * _LN2 +
+                             jnp.log(l_safe[:, :1])).astype(lse_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(

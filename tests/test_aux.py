@@ -1,0 +1,60 @@
+"""Aux subsystems: KV-cache checkpoint/resume, roofline accounting, tracing.
+
+The reference persists nothing and observes through prints (SURVEY.md
+section 5); these cover the TPU-native replacements.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tiny_flash_attention_tpu.models.kv_cache import PagedKVCache
+from tiny_flash_attention_tpu.utils.profiling import roofline, trace
+
+
+@pytest.mark.parametrize("fmt", ["bf16", "int8"])
+def test_kv_cache_save_restore_roundtrip(tmp_path, fmt):
+    cache = PagedKVCache.create(
+        n_layers=2, n_kv_heads=2, num_pages=16, page_size=128, d_head=128,
+        max_seqs=4, pages_per_seq=4, fmt=fmt)
+    slot = cache.alloc_slot(128)
+    k = jax.random.normal(jax.random.key(0), (2, 2, 3, 128), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(1), (2, 2, 3, 128), jnp.bfloat16)
+    for t in range(3):
+        cache.append_tokens(np.asarray([slot]), k[:, :, t:t + 1, :],
+                            v[:, :, t:t + 1, :])
+
+    path = str(tmp_path / "cache.npz")
+    cache.save(path)
+    restored = PagedKVCache.load(path)
+
+    assert restored.fmt == cache.fmt
+    assert restored.page_size == cache.page_size
+    assert restored.free_pages == cache.free_pages
+    np.testing.assert_array_equal(restored.page_table, cache.page_table)
+    np.testing.assert_array_equal(restored.lengths, cache.lengths)
+    for a, b in zip(restored.pages, cache.pages):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume: the restored cache keeps serving (append another token)
+    restored.append_tokens(np.asarray([slot]), k[:, :, :1, :], v[:, :, :1, :])
+    assert int(restored.lengths[slot]) == 4
+
+
+def test_roofline_classification():
+    # attention-like: high intensity -> compute bound
+    r = roofline(flops=10**12, bytes_accessed=10**9, seconds=0.01)
+    assert r.bound == "compute"
+    assert abs(r.achieved_tflops - 100.0) < 1e-6
+    # decode-like: one flop per byte -> memory bound
+    r2 = roofline(flops=10**9, bytes_accessed=10**9, seconds=0.01)
+    assert r2.bound == "memory"
+    assert abs(r2.achieved_gbs - 100.0) < 1e-6
+    assert "bound" in str(r2)
+
+
+def test_trace_smoke(tmp_path):
+    with trace(str(tmp_path)):
+        jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    assert any(tmp_path.iterdir()), "trace produced no files"

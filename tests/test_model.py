@@ -99,3 +99,25 @@ def test_weight_only_int8_model():
     # argmax agreement on most positions
     agree = np.mean(np.asarray(jnp.argmax(base, -1) == jnp.argmax(quant, -1)))
     assert agree > 0.9, agree
+
+
+def test_chunked_steps_match_per_token_steps():
+    """steps(n) (one-dispatch device-side chunk) must reproduce the greedy
+    tokens of n per-token step() calls exactly."""
+    params = make_params()
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(0, 256, size=n)) for n in (9, 21)]
+
+    def run(chunked):
+        eng = InferenceEngine(CFG, params, num_pages=64, page_size=128,
+                              max_seqs=2, pages_per_seq=4)
+        for p in prompts:
+            eng.add_request(Request(p, max_new_tokens=9))
+        if chunked:
+            eng.steps(8)
+        else:
+            for _ in range(8):
+                eng.step()
+        return [eng.requests[s].generated for s in sorted(eng.requests)]
+
+    assert run(False) == run(True)

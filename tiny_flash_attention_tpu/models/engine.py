@@ -113,6 +113,49 @@ class InferenceEngine:
             self._record(slot, tok)
         return out
 
+    def steps(self, n: int) -> Dict[int, List[int]]:
+        """Advances every active slot n tokens with ONE device dispatch.
+
+        Runs the decode chunk device-side (inference.decode_loop): the host
+        syncs once per chunk instead of 2-3 times per token, which is what
+        the per-token step() costs. Sequences that hit EOS mid-chunk stop
+        being recorded but their cache rows still advance (chunked-decode
+        overrun; the allocator reserves for it via grow_slot below).
+        Returns {slot: [tokens...]} for tokens actually recorded.
+        """
+        from tiny_flash_attention_tpu.models.inference import decode_loop
+
+        active = [s for s, r in self.requests.items() if not r.done]
+        if not active or n <= 0:
+            return {}
+        for slot in active:
+            self.cache.grow_slot(slot, int(self.cache.lengths[slot]) + n)
+
+        lengths = self.cache.lengths.copy()
+        positions = jnp.asarray(np.where(lengths > 0, lengths, 0), jnp.int32)
+        page_table, _ = self.cache.device_views()
+        self.key, sub = jax.random.split(self.key)
+
+        new_pages, sampled, _ = decode_loop(
+            self.cfg, self.params, self.cache.pages,
+            jnp.asarray(self.last_token), positions, page_table,
+            jnp.asarray(self.temps), sub,
+            page_size=self.page_size, fmt=self.kv_format, n_steps=n)
+        self.cache.pages = new_pages
+        sampled = np.asarray(sampled)           # (n, max_seqs), one sync
+
+        out: Dict[int, List[int]] = {s: [] for s in active}
+        for slot in active:
+            self.cache.lengths[slot] += n
+            req = self.requests[slot]
+            for t in range(n):
+                if req.done:
+                    break
+                tok = int(sampled[t, slot])
+                out[slot].append(tok)
+                self._record(slot, tok)
+        return out
+
     def _record(self, slot: int, tok: int) -> None:
         req = self.requests[slot]
         req.generated.append(tok)
@@ -129,8 +172,12 @@ class InferenceEngine:
         return done
 
     def generate(self, prompts: List[List[int]], max_new_tokens: int,
-                 temperature: float = 0.0) -> List[List[int]]:
-        """Convenience batch API over the continuous-batching loop."""
+                 temperature: float = 0.0, chunk: int = 32) -> List[List[int]]:
+        """Convenience batch API over the continuous-batching loop.
+
+        Decodes in device-side chunks (steps(n)); chunk=1 reproduces the
+        per-token host loop.
+        """
         reqs = [Request(p, max_new_tokens, temperature) for p in prompts]
         pending = list(reqs)
         while pending or self.requests:
@@ -139,6 +186,15 @@ class InferenceEngine:
                 self.add_request(pending.pop(0))
             if not self.requests:
                 break
-            self.step()
+            rem = [r.max_new_tokens - len(r.generated)
+                   for r in self.requests.values() if not r.done]
+            if not rem:
+                self.collect_finished()
+                continue
+            n = max(1, min(chunk, max(rem)))
+            if n == 1:
+                self.step()
+            else:
+                self.steps(n)
             self.collect_finished()
         return [r.generated for r in reqs]

@@ -44,21 +44,10 @@ def prefill_forward(cfg: T.ModelConfig, params: dict, tokens: jax.Array):
     return logits, ks, vs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "page_size", "fmt"),
-                   donate_argnums=(2,))
-def decode_step(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
-                tokens: jax.Array, positions: jax.Array,
-                page_table: jax.Array, *, page_size: int, fmt: str):
-    """One decode step for all slots (fixed shape = continuous batching).
-
-    tokens (B,) int32: last sampled token per slot.
-    positions (B,) int32: index of this token (== old cache length).
-    page_table (B, pages_per_seq) int32.
-    Returns (logits (B, V), new_pages). Each layer appends its new KV row
-    into its page array BEFORE attending, so attention covers positions+1
-    tokens including the current one (causal decode semantics, ref
-    c/csrc/attn.cpp:51-53 kv_len = i + 1 + gap).
-    """
+def _decode_core(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
+                 tokens: jax.Array, positions: jax.Array,
+                 page_table: jax.Array, *, page_size: int, fmt: str):
+    """Traceable single decode step; see decode_step for the contract."""
     B = tokens.shape[0]
     ps = page_size
     x = params["embed"][tokens][:, None, :].astype(cfg.dtype)   # (B, 1, dm)
@@ -84,6 +73,58 @@ def decode_step(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
     x = T.rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = T._proj(x[:, 0], params["lm_head"]).astype(jnp.float32)
     return logits, new_pages
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "page_size", "fmt"),
+                   donate_argnums=(2,))
+def decode_step(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
+                tokens: jax.Array, positions: jax.Array,
+                page_table: jax.Array, *, page_size: int, fmt: str):
+    """One decode step for all slots (fixed shape = continuous batching).
+
+    tokens (B,) int32: last sampled token per slot.
+    positions (B,) int32: index of this token (== old cache length).
+    page_table (B, pages_per_seq) int32.
+    Returns (logits (B, V), new_pages). Each layer appends its new KV row
+    into its page array BEFORE attending, so attention covers positions+1
+    tokens including the current one (causal decode semantics, ref
+    c/csrc/attn.cpp:51-53 kv_len = i + 1 + gap).
+    """
+    return _decode_core(cfg, params, pages, tokens, positions, page_table,
+                        page_size=page_size, fmt=fmt)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "page_size", "fmt",
+                                             "n_steps"),
+                   donate_argnums=(2,))
+def decode_loop(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
+                tokens: jax.Array, positions: jax.Array,
+                page_table: jax.Array, temps: jax.Array, key: jax.Array,
+                *, page_size: int, fmt: str, n_steps: int):
+    """n_steps decode steps + on-device sampling in ONE dispatch.
+
+    The host-driven step() loop pays 2-3 host<->device round trips per
+    token, which dominates when the per-step compute is sub-millisecond
+    (and is catastrophic through this host's ~25 ms relay). This runs the
+    whole chunk device-side as a lax.scan — the continuous-batching
+    scheduler only syncs once per chunk, trading up to n_steps of overrun
+    past an EOS for the dispatch amortization (the standard chunked-decode
+    tradeoff in TPU serving loops).
+
+    Returns (new_pages, sampled (n_steps, B) int32, new_key).
+    """
+    def body(carry, _):
+        pages, tokens, positions, key = carry
+        logits, pages = _decode_core(cfg, params, pages, tokens, positions,
+                                     page_table, page_size=page_size,
+                                     fmt=fmt)
+        key, sub = jax.random.split(key)
+        tokens = sample_tokens(logits, sub, temps)
+        return (pages, tokens, positions + 1, key), tokens
+
+    (pages, _, _, key), sampled = jax.lax.scan(
+        body, (pages, tokens, positions, key), None, length=n_steps)
+    return pages, sampled, key
 
 
 def _append_rows(pages, k_new, v_new, page_ids, rows, *, page_size, fmt):

@@ -144,6 +144,47 @@ class PagedKVCache:
         """(page_table, lengths) as device arrays for the decode kernel."""
         return jnp.asarray(self.page_table), jnp.asarray(self.lengths)
 
+    # --- checkpoint / resume ----------------------------------------------
+    # The reference persists nothing but the LSE (SURVEY.md section 5); the
+    # inference analog of checkpoint/resume is saving the whole serving
+    # state — pages, page table, lengths, allocator — so in-flight
+    # sequences survive a process restart.
+
+    def save(self, path: str) -> None:
+        """Serializes the full cache state to an .npz file.
+
+        Page payloads are stored as uint8 views (npz cannot represent
+        bfloat16/fp8) with the real dtype name alongside.
+        """
+        arrays = {f"pages_{i}": np.ascontiguousarray(np.asarray(p))
+                  .view(np.uint8) for i, p in enumerate(self.pages)}
+        np.savez(
+            path,
+            page_table=self.page_table,
+            lengths=self.lengths,
+            free_pages=np.asarray(self.free_pages, np.int32),
+            meta=np.asarray([self.page_size, len(self.pages)], np.int32),
+            fmt=np.asarray(self.fmt),
+            pages_dtype=np.asarray(str(np.asarray(self.pages[0]).dtype)),
+            **arrays,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PagedKVCache":
+        """Restores a cache saved with `save` (pages land on device)."""
+        z = np.load(path, allow_pickle=False)
+        page_size, n_layers = (int(x) for x in z["meta"])
+        pdtype = np.dtype(str(z["pages_dtype"]))
+        return cls(
+            pages=[jnp.asarray(z[f"pages_{i}"].view(pdtype))
+                   for i in range(n_layers)],
+            page_table=z["page_table"].copy(),
+            lengths=z["lengths"].copy(),
+            free_pages=list(z["free_pages"]),
+            page_size=page_size,
+            fmt=str(z["fmt"]),
+        )
+
 
 # --- jitted helpers -----------------------------------------------------------
 

@@ -315,7 +315,9 @@ def _flash_fwd_rule(q, k, v, causal, sm_scale, config):
 def _flash_bwd_rule(causal, sm_scale, config, res, g):
     from tiny_flash_attention_tpu.ops.flash_bwd import flash_attention_bwd
     q, k, v, out, lse = res
-    bwd_block = min(256, max(config.block_q, 128), max(config.block_kv, 128))
+    # tuned on v5e (chained timing, all three grads live): 512x512 wins
+    # (86 TF/s effective vs 46 at 256x256)
+    bwd_block = min(512, max(config.block_q, 128), max(config.block_kv, 128))
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, g, causal=causal, sm_scale=sm_scale,
         block_q=bwd_block, block_kv=bwd_block, interpret=config.interpret)

@@ -105,6 +105,20 @@ def ring_attention_sharded(mesh: Mesh, *, causal: bool = True,
         check_vma=False))
 
 
+def ulysses_attention_sharded(mesh: Mesh, *, causal: bool = True,
+                              sm_scale: Optional[float] = None,
+                              data_axis: str = "data",
+                              ctx_axis: str = "model"):
+    """jit-ready wrapper: q/k/v (b, h, S, d) with S sharded on ctx_axis and
+    h % mesh.shape[ctx_axis] == 0."""
+    ulysses = make_ulysses_attention(mesh, axis_name=ctx_axis, causal=causal,
+                                     sm_scale=sm_scale)
+    spec = P(data_axis, None, ctx_axis, None)
+    return jax.jit(jax.shard_map(
+        ulysses, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False))
+
+
 def make_ulysses_attention(mesh: Mesh, *, axis_name: str = "ctx",
                            causal: bool = True,
                            sm_scale: Optional[float] = None):

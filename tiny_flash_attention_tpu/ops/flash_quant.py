@@ -35,6 +35,24 @@ _LOG2E = math.log2(math.e)
 _LN2 = math.log(2.0)
 
 
+def _payload_to_compute(x, dtype):
+    """Converts a quantized payload tile to the compute dtype.
+
+    fp8-e4m3 -> bf16 is rebuilt with integer bit surgery (sign<<8, mantissa
+    <<4, exponent rebias +120) instead of the generic float convert, which
+    lowers much wider on the VPU. Zero is special-cased exactly; fp8
+    denormals land slightly high (< 2^-6 * 40%), far below the fp8
+    quantization noise itself. Other payloads use the native convert.
+    """
+    if x.dtype == jnp.float8_e4m3fn and dtype == jnp.bfloat16:
+        u = pltpu.bitcast(x, jnp.int8).astype(jnp.int32)
+        sign = (u & 0x80) << 8
+        mag = u & 0x7F
+        bits = jnp.where(mag == 0, sign, sign | ((mag << 4) + (120 << 7)))
+        return pltpu.bitcast(bits.astype(jnp.int16), jnp.bfloat16)
+    return x.astype(dtype)
+
+
 def _fwd_quant_kernel(
     q_ref, k_ref, v_ref, kscale_ref, vscale_ref,
     o_ref, lse_ref,
@@ -74,7 +92,7 @@ def _fwd_quant_kernel(
         # K/V tile is DMA'd once per KV head (see ops/flash.py).
         q = q_ref[0].reshape(rows, q_ref.shape[-1])
         q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
-        k = k_ref[0, 0].astype(q_ref.dtype)      # VPU convert int8/fp8->q dtype
+        k = _payload_to_compute(k_ref[0, 0], q_ref.dtype)
         kscale = kscale_ref[0, 0]                 # (1, block_kv), lane-oriented
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -112,7 +130,7 @@ def _fwd_quant_kernel(
         m_scr[...] = m_next
         l_scr[...] = l_next
 
-        v = v_ref[0, 0].astype(q_ref.dtype)
+        v = _payload_to_compute(v_ref[0, 0], q_ref.dtype)
         vscale = vscale_ref[0, 0]                 # (1, block_kv)
         p_scaled = (p * vscale).astype(q_ref.dtype)
         d_rep = acc_scr.shape[-1] // LANES

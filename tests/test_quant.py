@@ -84,3 +84,19 @@ def test_fused_dequant_gqa_decode():
         q.astype(jnp.float32), kq_.dequantize(), vq_.dequantize(),
         causal=True, impl=R.attention_naive)
     assert_close(got, want, atol=2e-2, name="int8 gqa decode")
+
+
+def test_quantized_matmul_pallas_matches_xla():
+    """The decode-shaped Pallas streaming matmul must match the XLA path."""
+    from tiny_flash_attention_tpu.ops.quant_matmul import (
+        quantized_matmul_pallas)
+    x = jax.random.normal(jax.random.key(0), (8, 512), jnp.bfloat16)
+    w = jax.random.normal(jax.random.key(1), (512, 768), jnp.bfloat16)
+    qw = Q.quantize_weight(w, "int8")
+    got = quantized_matmul_pallas(x, qw, block_k=256, block_n=256)
+    acc = jnp.dot(x, qw.values.astype(x.dtype),
+                  preferred_element_type=jnp.float32)
+    want = (acc * qw.scales.astype(jnp.float32)).astype(x.dtype)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0, atol=1e-1)

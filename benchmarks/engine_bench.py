@@ -22,11 +22,14 @@ from tiny_flash_attention_tpu.models import transformer as T
 from tiny_flash_attention_tpu.models.engine import InferenceEngine, Request
 
 
-def bench_engine(kv_format: str, *, batch=8, prompt_len=512, decode_steps=256):
+def bench_engine(kv_format: str, *, batch=8, prompt_len=512,
+                 decode_steps=256, weight_format=None):
     cfg = T.ModelConfig(
         vocab_size=32768, d_model=1024, n_layers=4, n_q_heads=8,
         n_kv_heads=2, d_head=128, d_ff=4096, dtype=jnp.bfloat16)
     params = T.init_params(cfg, jax.random.key(0))
+    if weight_format:
+        params = T.quantize_params(params, weight_format)
     eng = InferenceEngine(cfg, params, num_pages=512, page_size=128,
                           max_seqs=batch, pages_per_seq=32,
                           kv_format=kv_format)
@@ -53,8 +56,9 @@ def bench_engine(kv_format: str, *, batch=8, prompt_len=512, decode_steps=256):
     jax.block_until_ready(eng.cache.pages[0])
     dt = time.perf_counter() - t0
 
+    tag = f"{kv_format}" + (f"_w{weight_format}" if weight_format else "")
     print(json.dumps({
-        "metric": f"engine_decode_{kv_format}_b{batch}_tokens_per_s",
+        "metric": f"engine_decode_{tag}_b{batch}_tokens_per_s",
         "value": round(n_tokens / dt, 1),
         "unit": "tokens/s",
         "vs_baseline": round((n_tokens / dt) / (batch / dt_step), 3),
@@ -64,3 +68,4 @@ def bench_engine(kv_format: str, *, batch=8, prompt_len=512, decode_steps=256):
 if __name__ == "__main__":
     bench_engine("bf16")
     bench_engine("int8")
+    bench_engine("int8", weight_format="int8")

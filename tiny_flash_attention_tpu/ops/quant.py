@@ -18,7 +18,6 @@ Formats:
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional
 
 import jax
@@ -106,28 +105,14 @@ def quantized_matmul(x: jax.Array, qw: QuantizedTensor,
                      out_dtype=None) -> jax.Array:
     """x @ dequant(qw) with the per-channel scale folded into the epilogue.
 
-    Decode-shaped calls (few total rows, lane-aligned weight) route to the
-    Pallas streaming kernel in ops/quant_matmul.py — on wide weights XLA's
-    fused convert+dot reaches only ~60% of HBM bandwidth (measured v5e,
-    B=8 4096x16384: 491 vs 738 GB/s) while the kernel streams the int8
-    payload through VMEM at ~90%. Larger batches are MXU-bound and take
-    the plain XLA path, which fuses the cast into the matmul feed.
+    XLA fuses the int8->fp cast into the matmul feed and the (1, n) scale
+    into the output epilogue, streaming the weight at ~90% of HBM bandwidth
+    on decode shapes (measured v5e, B=8: 732-803 GB/s across 4096x4096 to
+    4096x16384) — the Pallas variant in ops/quant_matmul.py measures parity
+    (745 GB/s) and exists for explicit tile control, not as a default.
     """
     if out_dtype is None:
         out_dtype = x.dtype
-    lead = x.shape[:-1]
-    rows = math.prod(lead)
-    K, N = qw.values.shape
-    if (rows <= 64 and K % 256 == 0 and N % 256 == 0
-            and qw.scales.shape == (1, N)):
-        from tiny_flash_attention_tpu.ops.quant_matmul import (
-            quantized_matmul_pallas)
-        out = quantized_matmul_pallas(
-            x.reshape(rows, K), qw,
-            block_k=min(K, 2048),
-            block_n=min(N, 512),
-            out_dtype=out_dtype)
-        return out.reshape(*lead, N)
     acc = jnp.dot(x, qw.values.astype(x.dtype),
                   preferred_element_type=jnp.float32)
     return (acc * qw.scales.astype(jnp.float32)).astype(out_dtype)

@@ -1,14 +1,17 @@
 """Weight-only quantized matmul kernel for small-batch (decode) shapes.
 
 Weight-only INT8/FP8 projections are HBM-bandwidth-bound at decode batch
-sizes: the whole win is streaming half the weight bytes. XLA's fused
-convert+dot achieves that at square-ish shapes but drops to ~60% of HBM
-bandwidth on wide weights (measured v5e, B=8 4096x16384: 491 GB/s vs 803
-for 4096x4096). This kernel streams the int8/fp8 weight through VMEM in
-(block_k, block_n) tiles, converts on the VPU next to the MXU feed, and
-folds the per-output-channel scale into the f32 epilogue — the TPU analog
-of the reference archive's cast-buffer trick (archive attn.cpp:250-351,
-fp32 staging buffers per thread), applied to weights instead of KV.
+sizes: the whole win is streaming half the weight bytes. This kernel
+streams the int8/fp8 weight through VMEM in (block_k, block_n) tiles,
+converts on the VPU next to the MXU feed, and folds the per-output-channel
+scale into the f32 epilogue — the TPU analog of the reference archive's
+cast-buffer trick (archive attn.cpp:250-351, fp32 staging buffers per
+thread), applied to weights instead of KV.
+
+Measured on v5e at B=8, it reaches ~745 GB/s — parity with XLA's fused
+convert+dot (732-803 GB/s across decode shapes), so ops/quant.py keeps the
+XLA path as the default and this kernel exists for explicit tile control
+(and as the template for fusing further work into the stream).
 
 The activation x (B, K) stays resident in VMEM across the whole grid
 (it is tiny at decode shapes); the weight is the only streaming operand.

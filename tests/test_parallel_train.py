@@ -2,11 +2,13 @@
 8-device virtual CPU mesh (dp=4 x tp=2)."""
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import PartitionSpec as P
 
 from tiny_flash_attention_tpu.models import transformer as T
 from tiny_flash_attention_tpu.parallel.sharded import make_mesh
@@ -84,3 +86,23 @@ def test_train_step_runs_multiple_iterations():
         losses.append(float(loss))
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0]  # memorizing random batches still descends
+
+
+def test_hybrid_mesh_single_slice_and_sharded_step():
+    """make_hybrid_mesh degrades to (1, ici...) on one slice; a shard_map
+    collective over its axes runs on the virtual devices."""
+    from tiny_flash_attention_tpu.parallel.multihost import (
+        initialize_multihost, make_hybrid_mesh)
+
+    initialize_multihost()   # no coordinator configured -> no-op
+    mesh = make_hybrid_mesh(ici_axes=("model", "seq"), ici_shape=(4, 2))
+    assert dict(mesh.shape) == {"data": 1, "model": 4, "seq": 2}
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P("model"), out_specs=P())
+    def total(x):
+        return jax.lax.psum(jnp.sum(x), ("model",))
+
+    x = jnp.arange(8.0)
+    assert float(total(x)) == float(jnp.sum(x))

@@ -1,0 +1,98 @@
+"""Multi-host bring-up: distributed init + hybrid ICI/DCN mesh construction.
+
+The reference is single-process (SURVEY.md section 2.6: no comm library is
+linked anywhere); this is the TPU-native extension for v5e-16-style
+deployments: one JAX process per host, chips within a slice reached over
+ICI, hosts over DCN. Design per the scaling playbook: put the
+fast-collective axes (tensor/context parallel) on ICI and only
+data-parallel / pipeline axes on DCN.
+
+Failure policy (SURVEY.md section 5 failure-detection row): bring-up fails
+FAST and LOUD — a misconfigured coordinator or a missing host must raise at
+init, not hang into the first collective.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    timeout_s: int = 120,
+) -> None:
+    """Fail-fast wrapper over jax.distributed.initialize.
+
+    With no arguments, relies on the TPU environment (metadata-based
+    autodetection). No-op in single-process runs with no coordinator
+    configured. Raises RuntimeError with the root cause on any init
+    failure instead of letting the job hang.
+    """
+    configured = (coordinator_address
+                  or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                  or os.environ.get("COORDINATOR_ADDRESS"))
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    autodetect = (len([w for w in workers.split(",") if w]) > 1
+                  or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if not configured and not autodetect:
+        return  # single-process run
+    try:
+        jax.distributed.initialize(
+            coordinator_address=configured,
+            num_processes=num_processes,
+            process_id=process_id,
+            initialization_timeout=timeout_s,
+        )
+    except Exception as e:  # noqa: BLE001 - converting to fail-fast
+        raise RuntimeError(
+            f"multi-host init failed (coordinator={configured!r}, "
+            f"num_processes={num_processes}, process_id={process_id}): {e}"
+        ) from e
+
+
+def make_hybrid_mesh(
+    ici_axes: Sequence[str] = ("model",),
+    ici_shape: Optional[Sequence[int]] = None,
+    dcn_axis: str = "data",
+    axis_order: Optional[Sequence[str]] = None,
+) -> Mesh:
+    """Builds a mesh with `dcn_axis` across hosts/slices and `ici_axes`
+    within a slice.
+
+    Single-slice runs degrade to a plain mesh with dcn size 1, so code
+    written against the hybrid layout runs unchanged on one host (and on
+    the virtual CPU mesh in tests).
+    """
+    devices = jax.devices()
+    n = len(devices)
+    num_slices = max(
+        len({getattr(d, "slice_index", 0) for d in devices}), 1)
+    per_slice = n // num_slices
+    if ici_shape is None:
+        ici_shape = [per_slice] + [1] * (len(ici_axes) - 1)
+    ici_shape = list(ici_shape)
+    assert int(np.prod(ici_shape)) == per_slice, (ici_shape, per_slice)
+    assert len(ici_shape) == len(ici_axes), (ici_axes, ici_shape)
+
+    if num_slices > 1:
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=ici_shape,
+            dcn_mesh_shape=[num_slices] + [1] * (len(ici_shape) - 1),
+            devices=devices,
+        )
+    else:
+        arr = np.asarray(devices).reshape([1] + ici_shape)
+    names = (dcn_axis,) + tuple(ici_axes)
+    if axis_order is not None:
+        perm = [names.index(a) for a in axis_order]
+        arr = arr.transpose(perm)
+        names = tuple(axis_order)
+    return Mesh(arr, names)

@@ -98,3 +98,19 @@ def test_fwd_single_row_decode():
     want = R.mha_reference(q, k, v, causal=True, impl=R.attention_naive)
     got = flash_attention(q, k, v, causal=True, config=INTERP)
     assert_close(got, want, atol=tolerance_for(q.dtype))
+
+
+def test_fp16_surface():
+    """fp16 inputs compute in bf16 (Mosaic has no f16) and return fp16,
+    within the reference's fp16 tolerance (atol 1e-2)."""
+    kq, kk, kv = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(kq, (1, 4, 1024, 128), jnp.float16)
+    k = jax.random.normal(kk, (1, 2, 1024, 128), jnp.float16)
+    v = jax.random.normal(kv, (1, 2, 1024, 128), jnp.float16)
+    got = flash_attention(q, k, v, causal=True)
+    assert got.dtype == jnp.float16
+    want = R.mha_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                           v.astype(jnp.float32), causal=True)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0, atol=2e-2)

@@ -357,6 +357,18 @@ def flash_attention(
     bs, hq, q_len, d = q.shape
     _, hkv, kv_len, _ = k.shape
     assert hq % hkv == 0, f"GQA needs q_heads {hq} % kv_heads {hkv} == 0"
+    if q.dtype == jnp.float16:
+        # Mosaic has no f16 vector type; bf16 is the TPU half-precision.
+        # Compute in bf16 (same width, fp32 accumulation as always) and
+        # return f16 — parity with the reference's fp16 surface within its
+        # own atol=1e-2 gate (SURVEY.md section 4).
+        out = flash_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), causal=causal, sm_scale=sm_scale,
+            config=config, return_lse=return_lse)
+        if return_lse:
+            return out[0].astype(jnp.float16), out[1]
+        return out.astype(jnp.float16)
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     if config is None:

@@ -75,6 +75,15 @@ def make_ring_attention(mesh: Mesh, *, axis_name: str = "ctx",
                     jnp.full(q.shape[:3], -jnp.inf, jnp.float32))
 
         for step in range(n):
+            # Issue the NEXT block's rotation BEFORE this block's compute:
+            # XLA turns ppermute into collective-permute-start/-done pairs,
+            # so ordering the start ahead of the attention kernel lets the
+            # ICI transfer ride under the MXU work (the cross-chip analog
+            # of the reference's async-load-next-K-during-gemm discipline,
+            # cutlass flash_attention.cu:585-590).
+            if step < n - 1:
+                kb_next = jax.lax.ppermute(kb, axis_name, perm)
+                vb_next = jax.lax.ppermute(vb, axis_name, perm)
             src = (idx - step) % n  # ring shard this kb/vb originated from
             if causal:
                 branch = jnp.where(src == idx, 1,
@@ -85,8 +94,7 @@ def make_ring_attention(mesh: Mesh, *, axis_name: str = "ctx",
                 o_i, lse_i = full_fn(q, kb, vb)
             o, lse = _merge(o, lse, o_i, lse_i)
             if step < n - 1:
-                kb = jax.lax.ppermute(kb, axis_name, perm)
-                vb = jax.lax.ppermute(vb, axis_name, perm)
+                kb, vb = kb_next, vb_next
         return o.astype(q.dtype)
 
     return ring

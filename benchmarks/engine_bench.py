@@ -37,7 +37,7 @@ def bench_engine(kv_format: str, *, batch=8, prompt_len=512,
     for _ in range(batch):
         prompt = rng.integers(0, cfg.vocab_size, prompt_len).tolist()
         eng.add_request(
-            Request(prompt, max_new_tokens=decode_steps + 128))
+            Request(prompt, max_new_tokens=decode_steps + 256))
 
     # per-token host loop baseline (what the chunked loop replaces)
     for _ in range(4):
@@ -47,7 +47,7 @@ def bench_engine(kv_format: str, *, batch=8, prompt_len=512,
         eng.step()
     dt_step = (time.perf_counter() - t0) / 16
 
-    chunk = 32
+    chunk = 128
     eng.steps(chunk)     # warmup (compile the chunked decode loop)
     t0 = time.perf_counter()
     n_tokens = 0

@@ -121,3 +121,22 @@ def test_chunked_steps_match_per_token_steps():
         return [eng.requests[s].generated for s in sorted(eng.requests)]
 
     assert run(False) == run(True)
+
+
+def test_batched_admission_distinct_slots():
+    """add_requests admits several prompts in one prefill and each gets its
+    own slot with the right first greedy token."""
+    params = make_params()
+    rng = np.random.default_rng(11)
+    prompts = [list(rng.integers(0, 256, size=n)) for n in (7, 23)]
+    eng = InferenceEngine(CFG, params, num_pages=64, page_size=128,
+                          max_seqs=4, pages_per_seq=4)
+    slots = eng.add_requests([Request(p, max_new_tokens=4) for p in prompts])
+    assert len(set(slots)) == len(slots)
+    for p, s in zip(prompts, slots):
+        logits = T.forward(CFG, params, jnp.asarray([p], jnp.int32))
+        assert eng.requests[s].generated[0] == \
+            int(jnp.argmax(logits[0, len(p) - 1]))
+    eng.steps(3)
+    for s in slots:
+        assert len(eng.requests[s].generated) == 4

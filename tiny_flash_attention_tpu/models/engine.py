@@ -20,7 +20,7 @@ import numpy as np
 from tiny_flash_attention_tpu.models import transformer as T
 from tiny_flash_attention_tpu.models.kv_cache import PagedKVCache
 from tiny_flash_attention_tpu.models.inference import (
-    prefill_forward, decode_step, sample_tokens)
+    prefill_forward_batched, decode_step, sample_tokens)
 
 
 @dataclasses.dataclass
@@ -59,27 +59,43 @@ class InferenceEngine:
     # --- admission -------------------------------------------------------
 
     def add_request(self, req: Request) -> int:
-        ps = self.page_size
-        L = len(req.prompt)
-        upper = L + req.max_new_tokens
-        slot = self.cache.alloc_slot(upper)
-        req.slot = slot
-        self.requests[slot] = req
+        return self.add_requests([req])[0]
 
-        # prefill: pad prompt to a page multiple (bucketed compile shapes)
-        L_pad = -(-L // ps) * ps
-        toks = np.zeros((1, L_pad), np.int32)
-        toks[0, :L] = req.prompt
-        logits, ks, vs = prefill_forward(self.cfg, self.params,
-                                         jnp.asarray(toks))
-        self.cache.write_prefill(slot, ks, vs)
-        self.cache.lengths[slot] = L
-        self.temps[slot] = req.temperature
+    def add_requests(self, reqs: List[Request]) -> List[int]:
+        """Admits several requests with ONE batched prefill dispatch.
+
+        Prompts pad to the longest request's page-multiple bucket; right
+        padding is harmless under the causal mask and cache writes slice by
+        true length.
+        """
+        ps = self.page_size
+        slots = []
+        for req in reqs:
+            slot = self.cache.alloc_slot(len(req.prompt) + req.max_new_tokens)
+            req.slot = slot
+            self.requests[slot] = req
+            slots.append(slot)
+
+        L_max = max(len(r.prompt) for r in reqs)
+        L_pad = -(-L_max // ps) * ps
+        toks = np.zeros((len(reqs), L_pad), np.int32)
+        for i, req in enumerate(reqs):
+            toks[i, :len(req.prompt)] = req.prompt
+        logits, ks, vs = prefill_forward_batched(self.cfg, self.params,
+                                                 jnp.asarray(toks))
         self.key, sub = jax.random.split(self.key)
-        next_tok = int(sample_tokens(logits[:, L - 1], sub,
-                                     jnp.float32(req.temperature))[0])
-        self._record(slot, next_tok)
-        return slot
+        temps = jnp.asarray([r.temperature for r in reqs], jnp.float32)
+        last = jnp.asarray([len(r.prompt) - 1 for r in reqs])
+        first_toks = np.asarray(sample_tokens(
+            logits[jnp.arange(len(reqs)), last], sub, temps))
+
+        for i, (slot, req) in enumerate(zip(slots, reqs)):
+            L = len(req.prompt)
+            self.cache.write_prefill(slot, ks[:, i], vs[:, i])
+            self.cache.lengths[slot] = L
+            self.temps[slot] = req.temperature
+            self._record(slot, int(first_toks[i]))
+        return slots
 
     # --- decode ------------------------------------------------------------
 
@@ -181,9 +197,14 @@ class InferenceEngine:
         reqs = [Request(p, max_new_tokens, temperature) for p in prompts]
         pending = list(reqs)
         while pending or self.requests:
-            while pending and np.count_nonzero(self.cache.lengths == 0) > 0 \
-                    and len(self.cache.free_pages) >= self.cache.pages_per_seq:
-                self.add_request(pending.pop(0))
+            batch = []
+            while pending and \
+                    np.count_nonzero(self.cache.lengths == 0) > len(batch) \
+                    and len(self.cache.free_pages) >= \
+                    (len(batch) + 1) * self.cache.pages_per_seq:
+                batch.append(pending.pop(0))
+            if batch:
+                self.add_requests(batch)   # one batched prefill dispatch
             if not self.requests:
                 break
             rem = [r.max_new_tokens - len(r.generated)

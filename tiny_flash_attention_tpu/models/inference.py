@@ -20,11 +20,14 @@ from tiny_flash_attention_tpu.ops import reference as R
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def prefill_forward(cfg: T.ModelConfig, params: dict, tokens: jax.Array):
-    """tokens (1, L) -> (logits (1, L, V), k_layers, v_layers).
+def prefill_forward_batched(cfg: T.ModelConfig, params: dict,
+                            tokens: jax.Array):
+    """tokens (B, L) -> (logits (B, L, V), k_layers, v_layers).
 
-    k_layers/v_layers: (n_layers, hkv, L, d) post-RoPE, ready for cache
-    writes. Runs the flash kernel causally over the full prompt.
+    k_layers/v_layers: (n_layers, B, hkv, L, d) post-RoPE, ready for cache
+    writes. Runs the flash kernel causally over the full (padded) prompts;
+    right-padding garbage is harmless — cache writes slice by true length
+    and padded rows never mix into earlier positions under the causal mask.
     """
     b, s = tokens.shape
     positions = jnp.arange(s, dtype=jnp.int32)
@@ -36,12 +39,23 @@ def prefill_forward(cfg: T.ModelConfig, params: dict, tokens: jax.Array):
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_q_heads * cfg.d_head)
         x = x + T._proj(o, layer["wo"])
         x = T.mlp_block(cfg, layer, x)
-        return x, (k[0], v[0])   # (hkv, s, d) for batch=1
+        return x, (k, v)   # (B, hkv, s, d)
 
     x, (ks, vs) = jax.lax.scan(body, x, params["layers"])
     x = T.rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = T._proj(x, params["lm_head"]).astype(jnp.float32)
     return logits, ks, vs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill_forward(cfg: T.ModelConfig, params: dict, tokens: jax.Array):
+    """tokens (1, L) -> (logits (1, L, V), k_layers, v_layers).
+
+    Single-prompt convenience over prefill_forward_batched; k_layers/
+    v_layers squeeze to (n_layers, hkv, L, d).
+    """
+    logits, ks, vs = prefill_forward_batched(cfg, params, tokens)
+    return logits, ks[:, 0], vs[:, 0]
 
 
 def _decode_core(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],

@@ -75,7 +75,12 @@ class PagedKVCache:
     # --- host-side allocator ---------------------------------------------
 
     def alloc_slot(self, n_tokens_upper_bound: int) -> int:
-        """Reserves a free sequence slot + enough pages for the bound."""
+        """Reserves a free sequence slot + enough pages for the bound.
+
+        The slot is marked reserved immediately (lengths = -1, overwritten
+        by the first real write) so several allocations in a row — batched
+        admission — get distinct slots.
+        """
         free_slots = np.where(self.lengths == 0)[0]
         assert free_slots.size, "no free sequence slots"
         slot = int(free_slots[0])
@@ -84,6 +89,7 @@ class PagedKVCache:
         assert len(self.free_pages) >= n_pages, "cache out of pages"
         for i in range(n_pages):
             self.page_table[slot, i] = self.free_pages.pop()
+        self.lengths[slot] = -1   # reserved; any real length overwrites
         return slot
 
     def grow_slot(self, slot: int, n_tokens: int) -> None:
@@ -127,18 +133,19 @@ class PagedKVCache:
         """Appends one token per active slot (the decode-step write).
 
         slots: (B,) host ints; k_new/v_new: (n_layers, hkv, B, d). Uses the
-        CURRENT lengths as write positions, then advances them.
+        CURRENT lengths as write positions (a freshly reserved slot's -1
+        counts as 0), then advances them.
         """
-        positions = jnp.asarray(self.lengths[slots], jnp.int32)
+        pos_host = np.maximum(self.lengths[slots], 0)
+        positions = jnp.asarray(pos_host, jnp.int32)
         pages = jnp.asarray(
-            self.page_table[slots, np.asarray(self.lengths[slots])
-                            // self.page_size])
+            self.page_table[slots, pos_host // self.page_size])
         rows = positions % self.page_size
         for li in range(len(self.pages)):
             self.pages[li] = _append_layer(
                 self.pages[li], k_new[li], v_new[li], pages, rows,
                 page_size=self.page_size, fmt=self.fmt)
-        self.lengths[slots] += 1
+        self.lengths[slots] = pos_host + 1
 
     def device_views(self):
         """(page_table, lengths) as device arrays for the decode kernel."""

@@ -114,3 +114,18 @@ def test_fp16_surface():
     import numpy as np
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want), rtol=0, atol=2e-2)
+
+
+def test_extreme_logits_no_nan():
+    """Huge-magnitude scores must not overflow the online softmax (exp2
+    domain + finite mask value + empty-row guard)."""
+    import numpy as np
+    kq, kk, kv = jax.random.split(jax.random.key(13), 3)
+    q = 1e4 * jax.random.normal(kq, (1, 2, 256, 64), jnp.float32)
+    k = 1e4 * jax.random.normal(kk, (1, 2, 256, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, 256, 64), jnp.float32)
+    for causal in (False, True):
+        got = flash_attention(q, k, v, causal=causal, config=INTERP)
+        assert np.isfinite(np.asarray(got)).all(), f"NaN/Inf (causal={causal})"
+        # rows are dominated by one key; output must be close to some v row
+        assert float(jnp.abs(got).max()) < float(jnp.abs(v).max()) * 1.01

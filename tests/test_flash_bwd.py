@@ -74,3 +74,28 @@ def test_grads_bf16():
         q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
     for got, want, name in zip(gf, gr, "q k v".split()):
         assert_close(got.astype(jnp.float32), want, atol=3e-2, name=f"d{name}")
+
+
+def test_split_path_matches_fused():
+    """The large-sequence split kernels and the fused single-pass kernel
+    must agree (the fused path covers seqs whose scratch fits VMEM)."""
+    import tiny_flash_attention_tpu.ops.flash_bwd as FB
+    key = jax.random.key(21)
+    kq, kk, kv, kd = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (1, 4, 256, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, 256, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, 256, 64), jnp.float32)
+    out, lse = flash_attention(q, k, v, causal=True, return_lse=True,
+                               config=INTERP)
+    do = jax.random.normal(kd, out.shape, out.dtype)
+    kw = dict(causal=True, sm_scale=0.125, block_q=128, block_kv=128,
+              interpret=True)
+    fused = FB.flash_attention_bwd(q, k, v, out, lse, do, **kw)
+    limit = FB._FUSED_SCRATCH_LIMIT
+    try:
+        FB._FUSED_SCRATCH_LIMIT = 0   # force the split kernels
+        split = FB.flash_attention_bwd(q, k, v, out, lse, do, **kw)
+    finally:
+        FB._FUSED_SCRATCH_LIMIT = limit
+    for name, a, b in zip("dq dk dv".split(), fused, split):
+        assert_close(a, b, atol=1e-4, name=name)

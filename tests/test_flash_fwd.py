@@ -129,3 +129,27 @@ def test_extreme_logits_no_nan():
         assert np.isfinite(np.asarray(got)).all(), f"NaN/Inf (causal={causal})"
         # rows are dominated by one key; output must be close to some v row
         assert float(jnp.abs(got).max()) < float(jnp.abs(v).max()) * 1.01
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_v1_kernel_matches_oracle(causal):
+    """The FA1-loop-order Pallas kernel (KV-outer, persistent q state)
+    matches the oracle — the loop-order pair of the reference's v1/v2."""
+    import numpy as np
+    from tiny_flash_attention_tpu.ops.flash_v1 import flash_attention_v1
+    kq, kk, kv = jax.random.split(jax.random.key(17), 3)
+    q = jax.random.normal(kq, (1, 2, 300, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, 260, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, 260, 64), jnp.float32)
+    got, lse = flash_attention_v1(q, k, v, causal=causal, block_q=128,
+                                  block_kv=128, return_lse=True,
+                                  interpret=True)
+    want, want_lse = R.mha_reference(
+        q, k, v, causal=causal, impl=R.flash_attention_v2_ref,
+        return_lse=True)
+    assert_close(got, want, atol=1e-4, name="out")
+    # fully-masked decode rows (q_len > kv_len, causal) carry an
+    # implementation-defined sentinel; compare lse on valid rows only
+    valid_from = max(0, q.shape[2] - k.shape[2]) if causal else 0
+    assert_close(lse[:, :, valid_from:], want_lse[:, :, valid_from:],
+                 atol=1e-4, name="lse")

@@ -29,3 +29,4 @@ from tiny_flash_attention_tpu.ops.reference import (
     mha_reference,
 )
 from tiny_flash_attention_tpu.ops.flash import flash_attention, FlashConfig
+from tiny_flash_attention_tpu.ops.flash_v1 import flash_attention_v1

@@ -11,7 +11,7 @@ import ctypes
 import math
 import pathlib
 import subprocess
-from typing import Optional
+
 
 import numpy as np
 

@@ -7,7 +7,7 @@ the decode kernels; the training/eval `forward` stays cache-free.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

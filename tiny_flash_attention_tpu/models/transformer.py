@@ -16,7 +16,7 @@ ops.quant.quantized_matmul.
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 from typing import Any, Optional
 
 import jax

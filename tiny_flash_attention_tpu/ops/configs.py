@@ -11,7 +11,7 @@ a CUDA kernel — XLA traces/compiles one executable per static config.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 import jax.numpy as jnp
 

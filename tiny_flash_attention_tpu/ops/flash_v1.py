@@ -35,7 +35,7 @@ _LN2 = math.log(2.0)
 
 
 def _v1_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-               *, causal, sm_scale, block_q, block_kv, n_kv, q_len, kv_len,
+               *, causal, sm_scale, block_q, block_kv, q_len, kv_len,
                kv_padded):
     kvi, qi = pl.program_id(2), pl.program_id(3)
     qoff = qi * block_q
@@ -144,7 +144,7 @@ def flash_attention_v1(
     out, lse = pl.pallas_call(
         functools.partial(
             _v1_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
-            block_kv=block_kv, n_kv=n_kv, q_len=q_len, kv_len=kv_len,
+            block_kv=block_kv, q_len=q_len, kv_len=kv_len,
             kv_padded=kv_pad != kv_len),
         grid=(bs, h, n_kv, n_q),
         in_specs=[

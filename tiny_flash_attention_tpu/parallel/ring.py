@@ -23,7 +23,7 @@ training step handles training-side sharding.
 
 from __future__ import annotations
 
-import functools
+
 import math
 from typing import Optional
 

@@ -14,7 +14,7 @@ import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 

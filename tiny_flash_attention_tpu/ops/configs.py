@@ -31,6 +31,9 @@ class FlashConfig:
     """
     block_q: int = 128
     block_kv: int = 128
+    # Sub-tiles per KV block inside one grid step: sub-tile i+1's QK matmul
+    # is independent of sub-tile i's softmax, giving Mosaic MXU/VPU overlap.
+    kv_splits: int = 1
     # Marks the kv grid dimension "arbitrary" (sequential) and the rest
     # "parallel" so megacores can split batch/head/q blocks.
     use_dimension_semantics: bool = True
@@ -52,7 +55,7 @@ _DISPATCH: dict[tuple[str, int], FlashConfig] = {
     # width sets the causal triangle-quantization waste (~block_kv/seqlen)
     # while the tall q block amortizes per-grid-step overhead.
     ("bfloat16", 64): FlashConfig(block_q=2048, block_kv=256),
-    ("bfloat16", 128): FlashConfig(block_q=2048, block_kv=512),
+    ("bfloat16", 128): FlashConfig(block_q=2048, block_kv=512, kv_splits=2),
     ("bfloat16", 256): FlashConfig(block_q=1024, block_kv=256),
     ("float32", 64): FlashConfig(block_q=512, block_kv=512),
     ("float32", 128): FlashConfig(block_q=512, block_kv=512),

@@ -114,6 +114,7 @@ def _fwd_kernel(
     kv_len: int,
     any_masked: bool,
     kv_padded: bool,
+    kv_splits: int,
 ):
     t = pl.program_id(2)
     qi = qi_ref[t]
@@ -141,62 +142,76 @@ def _fwd_kernel(
     # domain; only the LSE epilogue converts back to natural log.
     q = q_ref[0].reshape(rows, q_ref.shape[-1])
     q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
-    k = k_ref[0, 0]  # (block_kv, d)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-
-    # Static mask specialization: a run-time branch (lax.cond) stalls the
-    # Mosaic pipeline (~30% measured), and per-tile predication saves less
-    # than the unconditional VPU mask costs (~9%), so when any work item
-    # needs masking the whole compiled instance masks — but the mask itself
-    # is built from the minimal static op set (no kv-bound compare unless
-    # the kv axis is actually padded).
-    if any_masked:
-        valid = None
-        if causal:
-            # folded row r sits at sequence position qi*block_q + (r %
-            # block_q); block_q is a power of two so the mod is a bitwise
-            # and, and all scalar terms fold into one VPU compare-vs-scalar
-            ci = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 1)
-            r = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 0)
-            valid = (ci - (r % block_q)) <= (
-                qi * block_q + offset - kvi * block_kv)
-        if kv_padded:
-            col_ok = kvi * block_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (rows, block_kv), 1) < kv_len
-            valid = col_ok if valid is None else valid & col_ok
-        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
-
-    # The running stats live at full 128-lane width and are widened to the
-    # tile width with jnp.tile (lane-block replication). Broadcasting from a
-    # 1-lane slice (m_next[:, :1]) instead lowers to a cross-lane gather in
-    # Mosaic that nearly DOUBLES the kernel's step time — measured 52 -> 94
-    # TF/s at 512x512 on v5e from this change alone.
-    m_prev = m_scr[...]
-    l_prev = l_scr[...]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp2(m_prev - m_next)
-    p = jnp.exp2(s - jnp.tile(m_next, (1, block_kv // LANES)))
-    if any_masked and causal and offset < 0:
-        # fully-masked-row guard: rows whose position precedes the first kv
-        # (q_len > kv_len decode shapes) keep m at the mask floor, making
-        # exp2(s - m) = 1 per masked column; zero those rows (ref cutlass
-        # :620 empty-row case). Rows masked only by padding are sliced off
-        # by the caller, so this multiply is skipped unless offset < 0.
-        p *= jnp.tile(m_next > 0.5 * DEFAULT_MASK_VALUE,
-                      (1, block_kv // LANES))
-    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    m_scr[...] = m_next
-    l_scr[...] = l_next
-
-    v = v_ref[0, 0]
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
+    k_full = k_ref[0, 0]  # (block_kv, d)
+    v_full = v_ref[0, 0]
     d_rep = acc_scr.shape[-1] // LANES
-    acc_scr[...] = acc_scr[...] * jnp.tile(alpha, (1, d_rep)) + pv
+    sub = block_kv // kv_splits
+
+    # kv_splits > 1 unrolls the online-softmax update over sub-tiles of the
+    # DMA'd KV block: sub-tile i+1's QK matmul has no data dependence on
+    # sub-tile i's softmax, so Mosaic can issue MXU and VPU work in
+    # parallel instead of strictly alternating (the stock kernel's
+    # block_k vs block_k_major split, flash_attention.py pl.loop unroll).
+    for si in range(kv_splits):
+        k = k_full[si * sub:(si + 1) * sub]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+        # Static mask specialization: a run-time branch (lax.cond) stalls
+        # the Mosaic pipeline (~30% measured), and per-tile predication
+        # saves less than the unconditional VPU mask costs (~9%), so when
+        # any work item needs masking the whole compiled instance masks —
+        # but the mask itself is built from the minimal static op set (no
+        # kv-bound compare unless the kv axis is actually padded).
+        if any_masked:
+            col0 = kvi * block_kv + si * sub
+            valid = None
+            if causal:
+                # folded row r sits at sequence position qi*block_q + (r %
+                # block_q); block_q is a power of two so the mod is a
+                # bitwise and, and all scalar terms fold into one VPU
+                # compare-vs-scalar
+                ci = jax.lax.broadcasted_iota(jnp.int32, (rows, sub), 1)
+                r = jax.lax.broadcasted_iota(jnp.int32, (rows, sub), 0)
+                valid = (ci - (r % block_q)) <= (
+                    qi * block_q + offset - col0)
+            if kv_padded:
+                col_ok = col0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, sub), 1) < kv_len
+                valid = col_ok if valid is None else valid & col_ok
+            s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+        # The running stats live at full 128-lane width and are widened to
+        # the tile width with jnp.tile (lane-block replication).
+        # Broadcasting from a 1-lane slice (m_next[:, :1]) instead lowers
+        # to a cross-lane gather in Mosaic that nearly DOUBLES the kernel's
+        # step time — measured 52 -> 94 TF/s at 512x512 on v5e from this
+        # change alone.
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - jnp.tile(m_next, (1, sub // LANES)))
+        if any_masked and causal and offset < 0:
+            # fully-masked-row guard: rows whose position precedes the
+            # first kv (q_len > kv_len decode shapes) keep m at the mask
+            # floor, making exp2(s - m) = 1 per masked column; zero those
+            # rows (ref cutlass :620 empty-row case). Rows masked only by
+            # padding are sliced off by the caller, so this multiply is
+            # skipped unless offset < 0.
+            p *= jnp.tile(m_next > 0.5 * DEFAULT_MASK_VALUE,
+                          (1, sub // LANES))
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_full[si * sub:(si + 1) * sub]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        acc_scr[...] = acc_scr[...] * jnp.tile(alpha, (1, d_rep)) + pv
 
     @pl.when(flags & _LAST != 0)
     def _epilogue():
@@ -236,10 +251,14 @@ def _flash_fwd_impl(q, k, v, causal, sm_scale, config):
     T = len(qis)
     any_masked = bool((flags & _MASKED).any())
 
+    kv_splits = config.kv_splits
+    while block_kv % (kv_splits * LANES) and kv_splits > 1:
+        kv_splits //= 2
     kernel = functools.partial(
         _fwd_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_kv=block_kv, group=group, q_len=q_len, kv_len=kv_len,
-        any_masked=any_masked, kv_padded=kv_pad != kv_len)
+        any_masked=any_masked, kv_padded=kv_pad != kv_len,
+        kv_splits=kv_splits)
 
     flops_mask = 0.5 if causal else 1.0
     cost = pl.CostEstimate(

@@ -67,6 +67,7 @@ def _fwd_quant_kernel(
     q_len: int,
     kv_len: int,
     kv_pad: bool,
+    kv_splits: int,
 ):
     qi = pl.program_id(2)
     kvi = pl.program_id(3)
@@ -89,55 +90,63 @@ def _fwd_quant_kernel(
         # log2-domain trick: exp2((qk*sm_scale*log2e)*kscale) ==
         # exp(qk*sm_scale*kscale). All stats below are log2-domain. The GQA
         # group's q heads are folded into the tile rows so each quantized
-        # K/V tile is DMA'd once per KV head (see ops/flash.py).
+        # K/V tile is DMA'd once per KV head (see ops/flash.py). kv_splits
+        # sub-tiles the block so the next sub-tile's dequant+QK overlaps
+        # the previous sub-tile's softmax on the VPU.
         q = q_ref[0].reshape(rows, q_ref.shape[-1])
         q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
-        k = _payload_to_compute(k_ref[0, 0], q_ref.dtype)
-        kscale = kscale_ref[0, 0]                 # (1, block_kv), lane-oriented
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s *= kscale                               # fold dequant
-
-        need_col_mask = kv_pad or causal
-        if need_col_mask:
-            ci = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 1)
-            mask = None
-            if causal:
-                # folded row r sits at position qi*block_q + (r % block_q)
-                r = jax.lax.broadcasted_iota(jnp.int32, (rows, block_kv), 0)
-                mask = (ci - (r % block_q)) <= (
-                    qi * block_q + offset - kvi * block_kv)
-            if kv_pad:
-                col_ok = kvi * block_kv + ci < kv_len
-                mask = col_ok if mask is None else (mask & col_ok)
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-
-        # stats stay 128 lanes wide; widen with jnp.tile, never a 1-lane
-        # slice broadcast (Mosaic cross-lane gather, ~2x step time)
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_next)
-        kv_rep = block_kv // LANES
-        p = jnp.exp2(s - jnp.tile(m_next, (1, kv_rep)))
-        if causal and kv_len < q_len:
-            # empty-row guard for q_len > kv_len decode shapes (rows before
-            # the first kv position see only the mask floor)
-            p *= jnp.tile(m_next > 0.5 * DEFAULT_MASK_VALUE, (1, kv_rep))
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
-
-        v = _payload_to_compute(v_ref[0, 0], q_ref.dtype)
-        vscale = vscale_ref[0, 0]                 # (1, block_kv)
-        p_scaled = (p * vscale).astype(q_ref.dtype)
         d_rep = acc_scr.shape[-1] // LANES
-        acc_scr[...] = acc_scr[...] * jnp.tile(alpha, (1, d_rep)) + \
-            jax.lax.dot_general(
-                p_scaled, v, (((1,), (0,)), ((), ())),
+        sub = block_kv // kv_splits
+        for si in range(kv_splits):
+            col0 = kvi * block_kv + si * sub
+            k = _payload_to_compute(k_ref[0, 0, si * sub:(si + 1) * sub],
+                                    q_ref.dtype)
+            kscale = kscale_ref[0, 0, :, si * sub:(si + 1) * sub]  # (1, sub)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            s *= kscale                           # fold dequant
+
+            need_col_mask = kv_pad or causal
+            if need_col_mask:
+                ci = jax.lax.broadcasted_iota(jnp.int32, (rows, sub), 1)
+                mask = None
+                if causal:
+                    # folded row r sits at position qi*block_q+(r % block_q)
+                    r = jax.lax.broadcasted_iota(jnp.int32, (rows, sub), 0)
+                    mask = (ci - (r % block_q)) <= (
+                        qi * block_q + offset - col0)
+                if kv_pad:
+                    col_ok = col0 + ci < kv_len
+                    mask = col_ok if mask is None else (mask & col_ok)
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+            # stats stay 128 lanes wide; widen with jnp.tile, never a
+            # 1-lane slice broadcast (Mosaic cross-lane gather, ~2x step)
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_next)
+            kv_rep = sub // LANES
+            p = jnp.exp2(s - jnp.tile(m_next, (1, kv_rep)))
+            if causal and kv_len < q_len:
+                # empty-row guard for q_len > kv_len decode shapes (rows
+                # before the first kv position see only the mask floor)
+                p *= jnp.tile(m_next > 0.5 * DEFAULT_MASK_VALUE,
+                              (1, kv_rep))
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+
+            v = _payload_to_compute(v_ref[0, 0, si * sub:(si + 1) * sub],
+                                    q_ref.dtype)
+            vscale = vscale_ref[0, 0, :, si * sub:(si + 1) * sub]
+            p_scaled = (p * vscale).astype(q_ref.dtype)
+            acc_scr[...] = acc_scr[...] * jnp.tile(alpha, (1, d_rep)) + \
+                jax.lax.dot_general(
+                    p_scaled, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
     @pl.when(kvi == n_kv - 1)
     def _epilogue():
@@ -176,6 +185,11 @@ def flash_attention_quantized(
     if config is None:
         config = default_config(q.dtype, d, q_len, kv_len,
                                 interpret=jax.default_backend() != "tpu")
+        if k.values.dtype == jnp.float8_e4m3fn and config.kv_splits > 1:
+            # measured on v5e: sub-tiling helps int8 (+2.5%) but hurts fp8
+            # (-3%) — the bit-surgery convert already fills the VPU slots
+            import dataclasses as _dc
+            config = _dc.replace(config, kv_splits=1)
     # Folded q tile: the configured block_q is the total row budget.
     block_q = max(LANES, _round_up(config.block_q // group, LANES))
     block_q = min(block_q, _round_up(q_len, LANES))
@@ -194,10 +208,13 @@ def flash_attention_quantized(
     ks = _pad_lane(jnp.swapaxes(k.scales, 2, 3), kv_pad)
     vs = _pad_lane(jnp.swapaxes(v.scales, 2, 3), kv_pad)
 
+    kv_splits = config.kv_splits
+    while block_kv % (kv_splits * LANES) and kv_splits > 1:
+        kv_splits //= 2
     kernel = functools.partial(
         _fwd_quant_kernel, causal=causal, sm_scale=sm_scale, n_kv=n_kv,
         block_q=block_q, block_kv=block_kv, group=group, q_len=q_len,
-        kv_len=kv_len, kv_pad=kv_pad != kv_len)
+        kv_len=kv_len, kv_pad=kv_pad != kv_len, kv_splits=kv_splits)
 
     out, lse = pl.pallas_call(
         kernel,

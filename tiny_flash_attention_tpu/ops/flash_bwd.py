@@ -40,14 +40,17 @@ _LOG2E = math.log2(math.e)
 
 
 def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
-                 q_len, kv_len, causal, kv_mask, precision):
+                 q_len, kv_len, causal, kv_mask, precision, col0=None):
     """Recomputes the softmax tile p = exp(s*scale - lse).
 
     sm_scale*log2(e) is folded into the q tile so the whole computation is
     raw exp2; `lse2` arrives pre-scaled by log2(e) AND pre-broadcast to 128
     lanes (widened here with jnp.tile — a 1-lane slice broadcast lowers to a
     Mosaic cross-lane gather that dominates the step, see ops/flash.py).
+    col0 overrides the absolute kv start column (sub-tiled callers).
     """
+    if col0 is None:
+        col0 = kvi * block_kv
     q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -60,9 +63,9 @@ def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
             ri = jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0)
             mask = (ci - ri) <= (
-                qi * block_q + (kv_len - q_len) - kvi * block_kv)
+                qi * block_q + (kv_len - q_len) - col0)
         if kv_mask:
-            col_ok = kvi * block_kv + ci < kv_len
+            col_ok = col0 + ci < kv_len
             mask = col_ok if mask is None else (mask & col_ok)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     return jnp.exp2(s - jnp.tile(lse2, (1, block_kv // LANES)))
@@ -157,7 +160,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                       dq_ref, dk_ref, dv_ref,
                       dqa_scr, dka_scr, dva_scr, *,
                       causal, sm_scale, group, n_q, n_kv, block_q, block_kv,
-                      q_len, kv_len, kv_mask, precision):
+                      q_len, kv_len, kv_mask, precision, kv_splits):
     """Single-pass backward: 5 matmuls per visited tile instead of the
     split kernels' 7 (p and dp are recomputed once, not once per kernel).
 
@@ -186,26 +189,35 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     @pl.when(should_run)
     def _step():
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
         lse2 = lse_ref[0, 0]
         di = di_ref[0, 0]
-        p = _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
-                         q_len, kv_len, causal, kv_mask, precision)
-        dva_scr[pl.ds(kvi * block_kv, block_kv)] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        ds = p * (dp - jnp.tile(di, (1, block_kv // LANES)))
-        dka_scr[pl.ds(kvi * block_kv, block_kv)] += jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        dqa_scr[pl.ds(qi * block_q, block_q)] += jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+        # kv sub-tiling: sub-tile chains are independent except the dq
+        # accumulation, so Mosaic overlaps one sub-tile's softmax/ds VPU
+        # work with the next one's matmuls (see ops/flash.py kv_splits).
+        sub = block_kv // kv_splits
+        for si in range(kv_splits):
+            kv0 = kvi * block_kv + si * sub
+            k = k_ref[0, 0, si * sub:(si + 1) * sub]
+            v = v_ref[0, 0, si * sub:(si + 1) * sub]
+            p = _recompute_p(q, k, lse2, sm_scale, qi,
+                             0, block_q, sub, q_len, kv_len,
+                             causal, kv_mask, precision, col0=kv0)
+            dva_scr[pl.ds(kvi * block_kv + si * sub, sub)] += \
+                jax.lax.dot_general(
+                    p, do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+            dp = jax.lax.dot_general(
+                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            ds = p * (dp - jnp.tile(di, (1, sub // LANES)))
+            dka_scr[pl.ds(kvi * block_kv + si * sub, sub)] += \
+                jax.lax.dot_general(
+                    ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+            dqa_scr[pl.ds(qi * block_q, block_q)] += jax.lax.dot_general(
+                ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
 
     # Unconditional whole-block flushes (sm_scale folded here, idempotent).
     dq_ref[0, 0] = (dqa_scr[pl.ds(qi * block_q, block_q)]
@@ -218,7 +230,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 def _flash_bwd_fused(q, k, v, do, lsep, dip, *, causal, sm_scale,
                      block_q, block_kv, q_len, kv_len, q_pad, kv_pad,
-                     d_pad, kv_mask, precision, interpret):
+                     d_pad, kv_mask, precision, interpret, kv_splits=1):
     bs, hq = q.shape[:2]
     hkv = k.shape[1]
     group = hq // hkv
@@ -238,7 +250,7 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, *, causal, sm_scale,
             _bwd_fused_kernel, causal=causal, sm_scale=sm_scale,
             group=group, n_q=n_q, n_kv=n_kv, block_q=block_q,
             block_kv=block_kv, q_len=q_len, kv_len=kv_len,
-            kv_mask=kv_mask, precision=precision),
+            kv_mask=kv_mask, precision=precision, kv_splits=kv_splits),
         grid=(bs, hkv, group, n_kv, n_q),
         in_specs=[qspec, kvspec, kvspec, qspec, rowspec, rowspec],
         out_specs=[qspec, kvspec, kvspec],
@@ -263,7 +275,8 @@ _FUSED_SCRATCH_LIMIT = 13 * 1024 * 1024
 
 
 def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
-                        block_q=128, block_kv=128, interpret=False):
+                        block_q=128, block_kv=128, kv_splits=1,
+                        interpret=False):
     """Computes (dq, dk, dv). All arrays (b, h, s, d)-shaped like forward."""
     bs, hq, q_len, d = q.shape
     _, hkv, kv_len, _ = k.shape
@@ -298,11 +311,13 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
     # 5 matmuls per tile vs 7 across the split kernels (p and dp recompute
     # once), one input pass instead of two.
     if (q_pad + 2 * kv_pad) * d_pad * 4 <= _FUSED_SCRATCH_LIMIT:
+        while block_kv % (kv_splits * LANES) and kv_splits > 1:
+            kv_splits //= 2
         dq, dk, dv = _flash_bwd_fused(
             qp, kp, vp, dop, lsep, dip, causal=causal, sm_scale=sm_scale,
             block_q=block_q, block_kv=block_kv, q_len=q_len, kv_len=kv_len,
             q_pad=q_pad, kv_pad=kv_pad, d_pad=d_pad, kv_mask=kv_mask,
-            precision=precision, interpret=interpret)
+            precision=precision, interpret=interpret, kv_splits=kv_splits)
         return (dq[:, :, :q_len, :d], dk[:, :, :kv_len, :d],
                 dv[:, :, :kv_len, :d])
 

@@ -1,0 +1,99 @@
+"""Packed-sequence (segment-ids) masking: fwd + grads vs per-sequence calls.
+
+Two sequences packed into one row with segment ids must produce exactly the
+attention each sequence would get alone. Padding tokens share an id, so —
+like the stock splash/flash semantics ("only tokens with the same id can
+attend") — they attend each other; callers slice their rows away.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tiny_flash_attention_tpu.ops.flash import flash_attention
+from tiny_flash_attention_tpu.ops.configs import FlashConfig
+from tiny_flash_attention_tpu.utils import assert_close
+
+INTERP = FlashConfig(block_q=128, block_kv=128, interpret=True)
+
+L1, L2, PAD = 100, 120, 36          # packed length 256 (two blocks)
+D, HQ, HKV = 64, 4, 2
+
+
+def make_packed(key):
+    kq, kk, kv = jax.random.split(key, 3)
+    L = L1 + L2 + PAD
+    q = jax.random.normal(kq, (1, HQ, L, D), jnp.float32)
+    k = jax.random.normal(kk, (1, HKV, L, D), jnp.float32)
+    v = jax.random.normal(kv, (1, HKV, L, D), jnp.float32)
+    seg = jnp.asarray([[1] * L1 + [2] * L2 + [-7] * PAD], jnp.int32)
+    return q, k, v, seg
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_matches_separate(causal):
+    q, k, v, seg = make_packed(jax.random.key(0))
+    got, lse = flash_attention(q, k, v, causal=causal,
+                               segment_ids=(seg, seg), config=INTERP,
+                               return_lse=True)
+    for lo, hi in ((0, L1), (L1, L1 + L2)):
+        want, want_lse = flash_attention(
+            q[:, :, lo:hi], k[:, :, lo:hi], v[:, :, lo:hi], causal=causal,
+            config=INTERP, return_lse=True)
+        assert_close(got[:, :, lo:hi], want, atol=1e-4,
+                     name=f"seg[{lo}:{hi}]")
+        assert_close(lse[:, :, lo:hi], want_lse, atol=1e-4,
+                     name=f"lse[{lo}:{hi}]")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_grads_match_separate(causal):
+    q, k, v, seg = make_packed(jax.random.key(1))
+
+    def loss_packed(q, k, v):
+        out = flash_attention(q, k, v, causal=causal,
+                              segment_ids=(seg, seg), config=INTERP)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    dq, dk, dv = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+
+    for lo, hi in ((0, L1), (L1, L1 + L2)):
+        def loss_sep(qs, ks, vs):
+            out = flash_attention(qs, ks, vs, causal=causal, config=INTERP)
+            return (out.astype(jnp.float32) ** 2).sum()
+        dq_s, dk_s, dv_s = jax.grad(loss_sep, argnums=(0, 1, 2))(
+            q[:, :, lo:hi], k[:, :, lo:hi], v[:, :, lo:hi])
+        assert_close(dq[:, :, lo:hi], dq_s, atol=1e-3, name=f"dq[{lo}:{hi}]")
+        assert_close(dk[:, :, lo:hi], dk_s, atol=1e-3, name=f"dk[{lo}:{hi}]")
+        assert_close(dv[:, :, lo:hi], dv_s, atol=1e-3, name=f"dv[{lo}:{hi}]")
+
+
+def test_packed_grads_split_path():
+    """Same check through the split (large-sequence) backward kernels."""
+    import tiny_flash_attention_tpu.ops.flash_bwd as FB
+    q, k, v, seg = make_packed(jax.random.key(2))
+
+    def loss(q, k, v):
+        out = flash_attention(q, k, v, causal=True,
+                              segment_ids=(seg, seg), config=INTERP)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    limit = FB._FUSED_SCRATCH_LIMIT
+    try:
+        FB._FUSED_SCRATCH_LIMIT = 0
+        d_split = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        FB._FUSED_SCRATCH_LIMIT = limit
+    d_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("dq dk dv".split(), d_split, d_fused):
+        assert_close(a, b, atol=1e-4, name=name)
+
+
+def test_small_shape_xla_route_with_segments():
+    """The tiny-shape XLA fallback applies the same segment semantics."""
+    q, k, v, seg = make_packed(jax.random.key(3))
+    got = flash_attention(q, k, v, causal=True, segment_ids=(seg, seg))
+    want = flash_attention(q, k, v, causal=True, segment_ids=(seg, seg),
+                           config=INTERP)
+    assert_close(got, want, atol=1e-4, name="xla-vs-kernel")

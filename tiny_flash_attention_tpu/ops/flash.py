@@ -98,13 +98,8 @@ def _build_worklist(n_q: int, n_kv: int, block_q: int, block_kv: int,
 def _fwd_kernel(
     # scalar prefetch
     qi_ref, kvi_ref, flags_ref,
-    # inputs
-    q_ref, k_ref, v_ref,
-    # outputs
-    o_ref, lse_ref,
-    # scratch
-    m_scr, l_scr, acc_scr,
-    *,
+    # inputs (qseg/kvseg present only when with_segments)
+    *refs,
     causal: bool,
     sm_scale: float,
     block_q: int,
@@ -115,7 +110,15 @@ def _fwd_kernel(
     any_masked: bool,
     kv_padded: bool,
     kv_splits: int,
+    with_segments: bool,
 ):
+    if with_segments:
+        (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+        qseg_ref = kvseg_ref = None
     t = pl.program_id(2)
     qi = qi_ref[t]
     kvi = kvi_ref[t]
@@ -180,6 +183,15 @@ def _fwd_kernel(
                 col_ok = col0 + jax.lax.broadcasted_iota(
                     jnp.int32, (rows, sub), 1) < kv_len
                 valid = col_ok if valid is None else valid & col_ok
+            if with_segments:
+                # packed sequences: token pairs attend only within their
+                # segment. qseg arrives 128 lanes wide per q row; widening
+                # to (rows, sub) is a sublane+lane tile (the folded GQA
+                # rows repeat the block_q pattern per head).
+                qs = jnp.tile(qseg_ref[0], (group, sub // LANES))
+                ks = kvseg_ref[0, :, si * sub:(si + 1) * sub]   # (1, sub)
+                seg_ok = qs == ks
+                valid = seg_ok if valid is None else valid & seg_ok
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         # The running stats live at full 128-lane width and are widened to
@@ -194,7 +206,7 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s - jnp.tile(m_next, (1, sub // LANES)))
-        if any_masked and causal and offset < 0:
+        if any_masked and (with_segments or (causal and offset < 0)):
             # fully-masked-row guard: rows whose position precedes the
             # first kv (q_len > kv_len decode shapes) keep m at the mask
             # floor, making exp2(s - m) = 1 per masked column; zero those
@@ -225,7 +237,7 @@ def _fwd_kernel(
             lse_ref.dtype).reshape(lse_ref.shape[1:])
 
 
-def _flash_fwd_impl(q, k, v, causal, sm_scale, config):
+def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config):
     """Runs the forward pallas_call; returns (out, lse)."""
     bs, hq, q_len, d = q.shape
     _, hkv, kv_len, dk = k.shape
@@ -249,7 +261,8 @@ def _flash_fwd_impl(q, k, v, causal, sm_scale, config):
     qis, kvis, flags = _build_worklist(
         n_q, n_kv, block_q, block_kv, q_len, kv_len, causal)
     T = len(qis)
-    any_masked = bool((flags & _MASKED).any())
+    with_segments = segment_ids is not None
+    any_masked = bool((flags & _MASKED).any()) or with_segments
 
     kv_splits = config.kv_splits
     while block_kv % (kv_splits * LANES) and kv_splits > 1:
@@ -258,7 +271,7 @@ def _flash_fwd_impl(q, k, v, causal, sm_scale, config):
         _fwd_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_kv=block_kv, group=group, q_len=q_len, kv_len=kv_len,
         any_masked=any_masked, kv_padded=kv_pad != kv_len,
-        kv_splits=kv_splits)
+        kv_splits=kv_splits, with_segments=with_segments)
 
     flops_mask = 0.5 if causal else 1.0
     cost = pl.CostEstimate(
@@ -267,19 +280,41 @@ def _flash_fwd_impl(q, k, v, causal, sm_scale, config):
         transcendentals=int(bs * hq * q_len * kv_len * flops_mask),
     )
 
+    in_specs = [
+        # the GQA group's q heads arrive as one 4-D block: block index
+        # h along the head dim selects heads [h*group, (h+1)*group)
+        pl.BlockSpec((1, group, block_q, d_pad),
+                     lambda b, h, t, qi, kvi, fl: (b, h, qi[t], 0)),
+        pl.BlockSpec((1, 1, block_kv, d_pad),
+                     lambda b, h, t, qi, kvi, fl: (b, h, kvi[t], 0)),
+        pl.BlockSpec((1, 1, block_kv, d_pad),
+                     lambda b, h, t, qi, kvi, fl: (b, h, kvi[t], 0)),
+    ]
+    operands = [q, k, v]
+    if with_segments:
+        qseg, kvseg = segment_ids
+        assert qseg.shape == (bs, q_len) and kvseg.shape == (bs, kv_len), (
+            qseg.shape, kvseg.shape)
+        # q segment ids 128 lanes wide (1-lane blocks are pathological,
+        # see the stats note in the kernel); kv ids lane-oriented. Padded
+        # positions get id -1 (q pad rows are sliced off; kv pad columns
+        # are masked by kv_padded, so -1 is only defensive).
+        qseg_w = jnp.broadcast_to(
+            _pad_rows(qseg.astype(jnp.int32), q_pad)[..., None],
+            (bs, q_pad, LANES))
+        kvseg_l = _pad_rows(kvseg.astype(jnp.int32), kv_pad)[:, None, :]
+        operands += [qseg_w, kvseg_l]
+        in_specs += [
+            pl.BlockSpec((1, block_q, LANES),
+                         lambda b, h, t, qi, kvi, fl: (b, qi[t], 0)),
+            pl.BlockSpec((1, 1, block_kv),
+                         lambda b, h, t, qi, kvi, fl: (b, 0, kvi[t])),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(bs, hkv, T),
-        in_specs=[
-            # the GQA group's q heads arrive as one 4-D block: block index
-            # h along the head dim selects heads [h*group, (h+1)*group)
-            pl.BlockSpec((1, group, block_q, d_pad),
-                         lambda b, h, t, qi, kvi, fl: (b, h, qi[t], 0)),
-            pl.BlockSpec((1, 1, block_kv, d_pad),
-                         lambda b, h, t, qi, kvi, fl: (b, h, kvi[t], 0)),
-            pl.BlockSpec((1, 1, block_kv, d_pad),
-                         lambda b, h, t, qi, kvi, fl: (b, h, kvi[t], 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, group, block_q, d_pad),
                          lambda b, h, t, qi, kvi, fl: (b, h, qi[t], 0)),
@@ -308,7 +343,7 @@ def _flash_fwd_impl(q, k, v, causal, sm_scale, config):
         compiler_params=compiler_params,
         cost_estimate=cost,
         interpret=config.interpret,
-    )(jnp.asarray(qis), jnp.asarray(kvis), jnp.asarray(flags), q, k, v)
+    )(jnp.asarray(qis), jnp.asarray(kvis), jnp.asarray(flags), *operands)
 
     return out[:, :, :q_len, :d], lse[:, :, :q_len, 0]
 
@@ -320,27 +355,29 @@ def _flash_fwd_impl(q, k, v, causal, sm_scale, config):
 # is trainable end-to-end.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, causal, sm_scale, config):
-    out, _ = _flash_fwd_impl(q, k, v, causal, sm_scale, config)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, segment_ids, causal, sm_scale, config):
+    out, _ = _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config)
     return out
 
 
-def _flash_fwd_rule(q, k, v, causal, sm_scale, config):
-    out, lse = _flash_fwd_impl(q, k, v, causal, sm_scale, config)
-    return out, (q, k, v, out, lse)
+def _flash_fwd_rule(q, k, v, segment_ids, causal, sm_scale, config):
+    out, lse = _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale,
+                               config)
+    return out, (q, k, v, segment_ids, out, lse)
 
 
 def _flash_bwd_rule(causal, sm_scale, config, res, g):
     from tiny_flash_attention_tpu.ops.flash_bwd import flash_attention_bwd
-    q, k, v, out, lse = res
+    q, k, v, segment_ids, out, lse = res
     # tuned on v5e (chained timing, all three grads live): 512x512 wins
     # (86 TF/s effective vs 46 at 256x256)
     bwd_block = min(512, max(config.block_q, 128), max(config.block_kv, 128))
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, g, causal=causal, sm_scale=sm_scale,
+        segment_ids=segment_ids,
         block_q=bwd_block, block_kv=bwd_block, interpret=config.interpret)
-    return dq, dk, dv
+    return dq, dk, dv, None
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -357,6 +394,7 @@ def flash_attention(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    segment_ids=None,
     config: Optional[FlashConfig] = None,
     return_lse: bool = False,
 ):
@@ -367,6 +405,10 @@ def flash_attention(
       k, v: (batch, kv_heads, kv_len, head_dim); q_heads % kv_heads == 0 (GQA)
       causal: two-level causal masking incl. decode shapes (q_len != kv_len)
       sm_scale: softmax scale, default 1/sqrt(head_dim)
+      segment_ids: optional (q_seg (b, q_len), kv_seg (b, kv_len)) int32
+        pair for packed sequences — only tokens with the same id attend
+        each other (stock splash/flash semantics: padding tokens sharing
+        an id attend among themselves; slice their rows away)
       config: tile geometry; defaults via the (dtype, head_dim) dispatch table
       return_lse: also return log-sum-exp (batch, q_heads, q_len) float32
         (ref cutlass flash_attention.cu:756-771 returns {out, softmax_lse})
@@ -376,6 +418,8 @@ def flash_attention(
     bs, hq, q_len, d = q.shape
     _, hkv, kv_len, _ = k.shape
     assert hq % hkv == 0, f"GQA needs q_heads {hq} % kv_heads {hkv} == 0"
+    if segment_ids is not None:
+        segment_ids = (jnp.asarray(segment_ids[0]), jnp.asarray(segment_ids[1]))
     if q.dtype == jnp.float16:
         # Mosaic has no f16 vector type; bf16 is the TPU half-precision.
         # Compute in bf16 (same width, fp32 accumulation as always) and
@@ -384,7 +428,7 @@ def flash_attention(
         out = flash_attention(
             q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
             v.astype(jnp.bfloat16), causal=causal, sm_scale=sm_scale,
-            config=config, return_lse=return_lse)
+            segment_ids=segment_ids, config=config, return_lse=return_lse)
         if return_lse:
             return out[0].astype(jnp.float16), out[1]
         return out.astype(jnp.float16)
@@ -399,19 +443,22 @@ def flash_attention(
         # selection (cutlass static_switch.h). Explicit configs always take
         # the kernel path.
         if q_len <= 512 and kv_len <= 512:
-            return _xla_attention(q, k, v, causal, sm_scale, return_lse)
+            return _xla_attention(q, k, v, segment_ids, causal, sm_scale,
+                                  return_lse)
         # Interpret mode on non-TPU backends: the CPU-runnable "standalone"
         # equivalent (SURVEY.md section 4 implication).
         config = default_config(q.dtype, d, q_len, kv_len,
                                 interpret=jax.default_backend() != "tpu")
     if return_lse:
-        return _flash_fwd_impl(q, k, v, causal, sm_scale, config)
-    return _flash(q, k, v, causal, sm_scale, config)
+        return _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale,
+                               config)
+    return _flash(q, k, v, segment_ids, causal, sm_scale, config)
 
 
-def _xla_attention(q, k, v, causal, sm_scale, return_lse):
+def _xla_attention(q, k, v, segment_ids, causal, sm_scale, return_lse):
     """Fused-XLA attention for tiny shapes, kernel-identical semantics:
-    GQA, decode-shaped causal masking, empty-row guard, natural-log LSE."""
+    GQA, decode-shaped causal masking, segments, empty-row guard,
+    natural-log LSE."""
     bs, hq, q_len, d = q.shape
     hkv, kv_len = k.shape[1], k.shape[2]
     group = hq // hkv
@@ -420,22 +467,28 @@ def _xla_attention(q, k, v, causal, sm_scale, return_lse):
         v = jnp.repeat(v, group, axis=1)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * sm_scale
+    guard = causal and kv_len < q_len
     if causal:
         offset = kv_len - q_len
         valid = (jnp.arange(kv_len)[None, :]
                  <= jnp.arange(q_len)[:, None] + offset)
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+    if segment_ids is not None:
+        qseg, kvseg = segment_ids
+        seg_ok = qseg[:, None, :, None] == kvseg[:, None, None, :]
+        s = jnp.where(seg_ok, s, DEFAULT_MASK_VALUE)
+        guard = True
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    if causal and kv_len < q_len:
-        p *= m > 0.5 * DEFAULT_MASK_VALUE   # fully-masked decode rows -> 0
+    if guard:
+        p *= m > 0.5 * DEFAULT_MASK_VALUE   # fully-masked rows -> 0
     l = jnp.sum(p, axis=-1, keepdims=True)
     l_safe = jnp.where(l == 0.0, 1.0, l)
     out = jnp.einsum("bhqk,bhkd->bhqd", (p / l_safe).astype(v.dtype), v,
                      preferred_element_type=jnp.float32).astype(q.dtype)
     if return_lse:
         lse = (m + jnp.log(l_safe))[..., 0]
-        if causal and kv_len < q_len:
+        if guard:
             # fully-masked rows carry a sentinel; match the kernel's
             # log2-domain epilogue (m*ln2) so the two paths agree bit-wise
             lse = jnp.where(m[..., 0] > 0.5 * DEFAULT_MASK_VALUE, lse,
@@ -446,6 +499,13 @@ def _xla_attention(q, k, v, causal, sm_scale, return_lse):
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pad_rows(x: jax.Array, to: int):
+    """Pads the last axis of a (b, s) array to `to` with -1 ids."""
+    if x.shape[-1] == to:
+        return x
+    return jnp.pad(x, ((0, 0), (0, to - x.shape[-1])), constant_values=-1)
 
 
 def _pad4(x: jax.Array, s_to: int, d_to: int):

@@ -40,14 +40,17 @@ _LOG2E = math.log2(math.e)
 
 
 def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
-                 q_len, kv_len, causal, kv_mask, precision, col0=None):
+                 q_len, kv_len, causal, kv_mask, precision, col0=None,
+                 qs=None, ks=None, guard=False):
     """Recomputes the softmax tile p = exp(s*scale - lse).
 
     sm_scale*log2(e) is folded into the q tile so the whole computation is
     raw exp2; `lse2` arrives pre-scaled by log2(e) AND pre-broadcast to 128
     lanes (widened here with jnp.tile — a 1-lane slice broadcast lowers to a
     Mosaic cross-lane gather that dominates the step, see ops/flash.py).
-    col0 overrides the absolute kv start column (sub-tiled callers).
+    col0 overrides the absolute kv start column (sub-tiled callers);
+    qs/ks are optional (block_q, LANES) / (1, block_kv) segment-id tiles;
+    guard zeroes fully-masked rows via the lse sentinel.
     """
     if col0 is None:
         col0 = kvi * block_kv
@@ -68,12 +71,28 @@ def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
             col_ok = col0 + ci < kv_len
             mask = col_ok if mask is None else (mask & col_ok)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-    return jnp.exp2(s - jnp.tile(lse2, (1, block_kv // LANES)))
+    if qs is not None:
+        seg_ok = jnp.tile(qs, (1, block_kv // LANES)) == ks
+        s = jnp.where(seg_ok, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp2(s - jnp.tile(lse2, (1, block_kv // LANES)))
+    if guard:
+        # fully-masked rows carry the lse sentinel (~MASK); without this
+        # their recomputed p is exp2(MASK - MASK) = 1 per column and the
+        # row would pollute dk/dv with its (arbitrary) upstream gradient
+        p *= jnp.tile(lse2 > 0.5 * DEFAULT_MASK_VALUE,
+                      (1, block_kv // LANES))
+    return p
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                   dq_ref, dq_scr, *, causal, sm_scale, n_kv, block_q,
-                   block_kv, q_len, kv_len, kv_mask, precision):
+                   *refs, causal, sm_scale, n_kv, block_q,
+                   block_kv, q_len, kv_len, kv_mask, precision,
+                   with_segments, guard):
+    if with_segments:
+        qseg_ref, kvseg_ref, dq_ref, dq_scr = refs
+    else:
+        dq_ref, dq_scr = refs
+        qseg_ref = kvseg_ref = None
     qi, kvi = pl.program_id(2), pl.program_id(3)
 
     @pl.when(kvi == 0)
@@ -92,8 +111,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         do = do_ref[0, 0].astype(jnp.float32)
         lse2 = lse_ref[0, 0]         # (block_q, LANES), log2-domain
         di = di_ref[0, 0]            # (block_q, LANES)
-        p = _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
-                         q_len, kv_len, causal, kv_mask, precision)
+        p = _recompute_p(
+            q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
+            q_len, kv_len, causal, kv_mask, precision,
+            qs=None if qseg_ref is None else qseg_ref[0],
+            ks=None if kvseg_ref is None else kvseg_ref[0],
+            guard=guard)
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
@@ -110,9 +133,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr, *, causal, sm_scale,
+                    *refs, causal, sm_scale,
                     n_q, group, block_q, block_kv, q_len, kv_len, kv_mask,
-                    precision):
+                    precision, with_segments, guard):
+    if with_segments:
+        qseg_ref, kvseg_ref, dk_ref, dv_ref, dk_scr, dv_scr = refs
+    else:
+        dk_ref, dv_ref, dk_scr, dv_scr = refs
+        qseg_ref = kvseg_ref = None
     # grid: (bs, hkv, n_kv, group, n_q); dims 3 and 4 are sequential and the
     # dk/dv output block index ignores them, so scratch accumulates across
     # the whole q-head group and all q blocks.
@@ -135,8 +163,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         do = do_ref[0, 0].astype(jnp.float32)
         lse2 = lse_ref[0, 0]         # (block_q, LANES), log2-domain
         di = di_ref[0, 0]            # (block_q, LANES)
-        p = _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
-                         q_len, kv_len, causal, kv_mask, precision)
+        p = _recompute_p(
+            q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
+            q_len, kv_len, causal, kv_mask, precision,
+            qs=None if qseg_ref is None else qseg_ref[0],
+            ks=None if kvseg_ref is None else kvseg_ref[0],
+            guard=guard)
         # dv += p^T @ dO
         dv_scr[...] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
@@ -157,10 +189,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                      dq_ref, dk_ref, dv_ref,
-                      dqa_scr, dka_scr, dva_scr, *,
+                      *refs,
                       causal, sm_scale, group, n_q, n_kv, block_q, block_kv,
-                      q_len, kv_len, kv_mask, precision, kv_splits):
+                      q_len, kv_len, kv_mask, precision, kv_splits,
+                      with_segments, guard):
+    if with_segments:
+        (qseg_ref, kvseg_ref, dq_ref, dk_ref, dv_ref,
+         dqa_scr, dka_scr, dva_scr) = refs
+    else:
+        dq_ref, dk_ref, dv_ref, dqa_scr, dka_scr, dva_scr = refs
+        qseg_ref = kvseg_ref = None
     """Single-pass backward: 5 matmuls per visited tile instead of the
     split kernels' 7 (p and dp are recomputed once, not once per kernel).
 
@@ -200,9 +238,13 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             kv0 = kvi * block_kv + si * sub
             k = k_ref[0, 0, si * sub:(si + 1) * sub]
             v = v_ref[0, 0, si * sub:(si + 1) * sub]
-            p = _recompute_p(q, k, lse2, sm_scale, qi,
-                             0, block_q, sub, q_len, kv_len,
-                             causal, kv_mask, precision, col0=kv0)
+            p = _recompute_p(
+                q, k, lse2, sm_scale, qi, 0, block_q, sub, q_len, kv_len,
+                causal, kv_mask, precision, col0=kv0,
+                qs=None if qseg_ref is None else qseg_ref[0],
+                ks=None if kvseg_ref is None
+                else kvseg_ref[0, :, si * sub:(si + 1) * sub],
+                guard=guard)
             dva_scr[pl.ds(kvi * block_kv + si * sub, sub)] += \
                 jax.lax.dot_general(
                     p, do, (((0,), (0,)), ((), ())),
@@ -228,9 +270,10 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref.dtype)
 
 
-def _flash_bwd_fused(q, k, v, do, lsep, dip, *, causal, sm_scale,
+def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
                      block_q, block_kv, q_len, kv_len, q_pad, kv_pad,
-                     d_pad, kv_mask, precision, interpret, kv_splits=1):
+                     d_pad, kv_mask, precision, interpret, guard,
+                     kv_splits=1):
     bs, hq = q.shape[:2]
     hkv = k.shape[1]
     group = hq // hkv
@@ -245,14 +288,26 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, *, causal, sm_scale,
         (1, 1, block_q, LANES),
         lambda b, hk, g, j, i, gr=group: (b, hk * gr + g, i, 0))
 
+    in_specs = [qspec, kvspec, kvspec, qspec, rowspec, rowspec]
+    operands = [q, k, v, do, lsep, dip]
+    if segs is not None:
+        operands += list(segs)
+        in_specs += [
+            pl.BlockSpec((1, block_q, LANES),
+                         lambda b, hk, g, j, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_kv),
+                         lambda b, hk, g, j, i: (b, 0, j)),
+        ]
+
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel, causal=causal, sm_scale=sm_scale,
             group=group, n_q=n_q, n_kv=n_kv, block_q=block_q,
             block_kv=block_kv, q_len=q_len, kv_len=kv_len,
-            kv_mask=kv_mask, precision=precision, kv_splits=kv_splits),
+            kv_mask=kv_mask, precision=precision, kv_splits=kv_splits,
+            with_segments=segs is not None, guard=guard),
         grid=(bs, hkv, group, n_kv, n_q),
-        in_specs=[qspec, kvspec, kvspec, qspec, rowspec, rowspec],
+        in_specs=in_specs,
         out_specs=[qspec, kvspec, kvspec],
         out_shape=[jax.ShapeDtypeStruct((bs, hq, q_pad, d_pad), q.dtype),
                    jax.ShapeDtypeStruct((bs, hkv, kv_pad, d_pad), k.dtype),
@@ -264,7 +319,7 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, *, causal, sm_scale,
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(q, k, v, do, lsep, dip)
+    )(*operands)
     return dq, dk, dv
 
 
@@ -275,9 +330,13 @@ _FUSED_SCRATCH_LIMIT = 13 * 1024 * 1024
 
 
 def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
-                        block_q=128, block_kv=128, kv_splits=1,
-                        interpret=False):
-    """Computes (dq, dk, dv). All arrays (b, h, s, d)-shaped like forward."""
+                        segment_ids=None, block_q=128, block_kv=128,
+                        kv_splits=1, interpret=False):
+    """Computes (dq, dk, dv). All arrays (b, h, s, d)-shaped like forward.
+
+    segment_ids: optional (q_seg (b, q_len), kv_seg (b, kv_len)) matching
+    the forward's packing mask.
+    """
     bs, hq, q_len, d = q.shape
     _, hkv, kv_len, _ = k.shape
     group = hq // hkv
@@ -307,6 +366,18 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
         (bs, hq, q_pad, LANES))
     dip = jnp.broadcast_to(_pad4(di, q_pad, 1), (bs, hq, q_pad, LANES))
 
+    # Zero fully-masked rows' recomputed p (lse sentinel): needed for
+    # q_len > kv_len decode shapes and for packed segments.
+    guard = (causal and q_len > kv_len) or segment_ids is not None
+    segs = None
+    if segment_ids is not None:
+        qseg, kvseg = segment_ids
+        qseg_w = jnp.broadcast_to(
+            _pad_seg(qseg.astype(jnp.int32), q_pad)[..., None],
+            (bs, q_pad, LANES))
+        kvseg_l = _pad_seg(kvseg.astype(jnp.int32), kv_pad)[:, None, :]
+        segs = (qseg_w, kvseg_l)
+
     # Fused single-pass backward when its persistent scratch fits VMEM:
     # 5 matmuls per tile vs 7 across the split kernels (p and dp recompute
     # once), one input pass instead of two.
@@ -314,10 +385,12 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
         while block_kv % (kv_splits * LANES) and kv_splits > 1:
             kv_splits //= 2
         dq, dk, dv = _flash_bwd_fused(
-            qp, kp, vp, dop, lsep, dip, causal=causal, sm_scale=sm_scale,
+            qp, kp, vp, dop, lsep, dip, segs, causal=causal,
+            sm_scale=sm_scale,
             block_q=block_q, block_kv=block_kv, q_len=q_len, kv_len=kv_len,
             q_pad=q_pad, kv_pad=kv_pad, d_pad=d_pad, kv_mask=kv_mask,
-            precision=precision, interpret=interpret, kv_splits=kv_splits)
+            precision=precision, interpret=interpret, guard=guard,
+            kv_splits=kv_splits)
         return (dq[:, :, :q_len, :d], dk[:, :, :kv_len, :d],
                 dv[:, :, :kv_len, :d])
 
@@ -327,13 +400,22 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
     rowspec = pl.BlockSpec((1, 1, block_q, LANES),
                            lambda b, h, i, j: (b, h, i, 0))
 
+    dq_in_specs = [qspec, kvspec, kvspec, qspec, rowspec, rowspec]
+    dq_operands = [qp, kp, vp, dop, lsep, dip]
+    if segs is not None:
+        dq_operands += list(segs)
+        dq_in_specs += [
+            pl.BlockSpec((1, block_q, LANES), lambda b, h, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_kv), lambda b, h, i, j: (b, 0, j)),
+        ]
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, causal=causal, sm_scale=sm_scale, n_kv=n_kv,
             block_q=block_q, block_kv=block_kv, q_len=q_len, kv_len=kv_len,
-            kv_mask=kv_mask, precision=precision),
+            kv_mask=kv_mask, precision=precision,
+            with_segments=segs is not None, guard=guard),
         grid=(bs, hq, n_q, n_kv),
-        in_specs=[qspec, kvspec, kvspec, qspec, rowspec, rowspec],
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d_pad),
                                lambda b, h, i, j: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bs, hq, q_pad, d_pad), q.dtype),
@@ -342,7 +424,7 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, dip)
+    )(*dq_operands)
 
     # dkv: grid (bs, hkv, n_kv, group, n_q)
     qspec2 = pl.BlockSpec(
@@ -354,13 +436,24 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
         (1, 1, block_q, LANES),
         lambda b, hk, j, g, i, gr=group: (b, hk * gr + g, i, 0))
 
+    dkv_in_specs = [qspec2, kvspec2, kvspec2, qspec2, rowspec2, rowspec2]
+    dkv_operands = [qp, kp, vp, dop, lsep, dip]
+    if segs is not None:
+        dkv_operands += list(segs)
+        dkv_in_specs += [
+            pl.BlockSpec((1, block_q, LANES),
+                         lambda b, hk, j, g, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_kv),
+                         lambda b, hk, j, g, i: (b, 0, j)),
+        ]
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale, n_q=n_q,
             group=group, block_q=block_q, block_kv=block_kv, q_len=q_len,
-            kv_len=kv_len, kv_mask=kv_mask, precision=precision),
+            kv_len=kv_len, kv_mask=kv_mask, precision=precision,
+            with_segments=segs is not None, guard=guard),
         grid=(bs, hkv, n_kv, group, n_q),
-        in_specs=[qspec2, kvspec2, kvspec2, qspec2, rowspec2, rowspec2],
+        in_specs=dkv_in_specs,
         out_specs=[kvspec2, kvspec2],
         out_shape=[jax.ShapeDtypeStruct((bs, hkv, kv_pad, d_pad), k.dtype),
                    jax.ShapeDtypeStruct((bs, hkv, kv_pad, d_pad), v.dtype)],
@@ -370,7 +463,7 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, dip)
+    )(*dkv_operands)
 
     return (dq[:, :, :q_len, :d], dk[:, :, :kv_len, :d],
             dv[:, :, :kv_len, :d])
@@ -378,6 +471,12 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def _pad_seg(x, to):
+    if x.shape[-1] == to:
+        return x
+    return jnp.pad(x, ((0, 0), (0, to - x.shape[-1])), constant_values=-1)
 
 
 def _pad4(x, s_to, d_to):

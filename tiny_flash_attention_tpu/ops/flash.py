@@ -57,12 +57,15 @@ _FIRST, _LAST, _MASKED = 1, 2, 4
 
 
 def _build_worklist(n_q: int, n_kv: int, block_q: int, block_kv: int,
-                    q_len: int, kv_len: int, causal: bool):
+                    q_len: int, kv_len: int, causal: bool,
+                    window=None):
     """Static (qi, kvi, flags) triples: the tiles that actually run.
 
-    For causal attention this is the on-or-below-diagonal triangle; rows of
-    q blocks with no visible KV still get one (masked) item so their output
-    is written (zeros via the empty-row guard).
+    For causal attention this is the on-or-below-diagonal triangle; a
+    sliding window additionally drops tiles left of the band, so long-
+    sequence SWA costs O(seq * window) tiles. Rows of q blocks with no
+    visible KV still get one (masked) item so their output is written
+    (zeros via the empty-row guard).
     """
     offset = kv_len - q_len
     kv_pad = n_kv * block_kv != kv_len
@@ -73,9 +76,15 @@ def _build_worklist(n_q: int, n_kv: int, block_q: int, block_kv: int,
             hi = min(n_kv, max(1, -(-(last_pos + 1) // block_kv)))
         else:
             hi = n_kv
-        for j in range(hi):
+        lo = 0
+        if window is not None:
+            # earliest visible column across the tile = first row's left
+            # band edge
+            first_pos = qi * block_q + offset
+            lo = min(max(0, (first_pos - window + 1) // block_kv), hi - 1)
+        for j in range(lo, hi):
             f = 0
-            if j == 0:
+            if j == lo:
                 f |= _FIRST
             if j == hi - 1:
                 f |= _LAST
@@ -84,6 +93,11 @@ def _build_worklist(n_q: int, n_kv: int, block_q: int, block_kv: int,
                 # valid for every row iff valid for the tile's first row
                 fully_valid = (j * block_kv + block_kv - 1
                                <= qi * block_q + offset)
+            if window is not None:
+                # left edge: valid for every row iff valid for the LAST row
+                fully_valid = fully_valid and (
+                    j * block_kv
+                    >= qi * block_q + block_q - 1 + offset - window + 1)
             if kv_pad and (j + 1) * block_kv > kv_len:
                 fully_valid = False
             if not fully_valid:
@@ -111,6 +125,7 @@ def _fwd_kernel(
     kv_padded: bool,
     kv_splits: int,
     with_segments: bool,
+    window,
 ):
     if with_segments:
         (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
@@ -177,8 +192,12 @@ def _fwd_kernel(
                 # compare-vs-scalar
                 ci = jax.lax.broadcasted_iota(jnp.int32, (rows, sub), 1)
                 r = jax.lax.broadcasted_iota(jnp.int32, (rows, sub), 0)
-                valid = (ci - (r % block_q)) <= (
-                    qi * block_q + offset - col0)
+                diff = ci - (r % block_q)
+                valid = diff <= (qi * block_q + offset - col0)
+                if window is not None:
+                    # sliding window: col >= pos - window + 1
+                    valid &= diff >= (
+                        qi * block_q + offset - window + 1 - col0)
             if kv_padded:
                 col_ok = col0 + jax.lax.broadcasted_iota(
                     jnp.int32, (rows, sub), 1) < kv_len
@@ -237,7 +256,8 @@ def _fwd_kernel(
             lse_ref.dtype).reshape(lse_ref.shape[1:])
 
 
-def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config):
+def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
+                    window=None):
     """Runs the forward pallas_call; returns (out, lse)."""
     bs, hq, q_len, d = q.shape
     _, hkv, kv_len, dk = k.shape
@@ -259,7 +279,7 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config):
     v = _pad4(v, kv_pad, d_pad)
 
     qis, kvis, flags = _build_worklist(
-        n_q, n_kv, block_q, block_kv, q_len, kv_len, causal)
+        n_q, n_kv, block_q, block_kv, q_len, kv_len, causal, window=window)
     T = len(qis)
     with_segments = segment_ids is not None
     any_masked = bool((flags & _MASKED).any()) or with_segments
@@ -271,7 +291,7 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config):
         _fwd_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_kv=block_kv, group=group, q_len=q_len, kv_len=kv_len,
         any_masked=any_masked, kv_padded=kv_pad != kv_len,
-        kv_splits=kv_splits, with_segments=with_segments)
+        kv_splits=kv_splits, with_segments=with_segments, window=window)
 
     flops_mask = 0.5 if causal else 1.0
     cost = pl.CostEstimate(
@@ -355,19 +375,20 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config):
 # is trainable end-to-end.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, segment_ids, causal, sm_scale, config):
-    out, _ = _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, segment_ids, causal, sm_scale, config, window):
+    out, _ = _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
+                             window=window)
     return out
 
 
-def _flash_fwd_rule(q, k, v, segment_ids, causal, sm_scale, config):
+def _flash_fwd_rule(q, k, v, segment_ids, causal, sm_scale, config, window):
     out, lse = _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale,
-                               config)
+                               config, window=window)
     return out, (q, k, v, segment_ids, out, lse)
 
 
-def _flash_bwd_rule(causal, sm_scale, config, res, g):
+def _flash_bwd_rule(causal, sm_scale, config, window, res, g):
     from tiny_flash_attention_tpu.ops.flash_bwd import flash_attention_bwd
     q, k, v, segment_ids, out, lse = res
     # tuned on v5e (chained timing, all three grads live): 512x512 wins
@@ -375,7 +396,7 @@ def _flash_bwd_rule(causal, sm_scale, config, res, g):
     bwd_block = min(512, max(config.block_q, 128), max(config.block_kv, 128))
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, g, causal=causal, sm_scale=sm_scale,
-        segment_ids=segment_ids,
+        segment_ids=segment_ids, window=window,
         block_q=bwd_block, block_kv=bwd_block, interpret=config.interpret)
     return dq, dk, dv, None
 
@@ -385,7 +406,7 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sm_scale", "config", "return_lse"),
+    static_argnames=("causal", "sm_scale", "window", "config", "return_lse"),
 )
 def flash_attention(
     q: jax.Array,
@@ -395,6 +416,7 @@ def flash_attention(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     segment_ids=None,
+    window: Optional[int] = None,
     config: Optional[FlashConfig] = None,
     return_lse: bool = False,
 ):
@@ -409,6 +431,9 @@ def flash_attention(
         pair for packed sequences — only tokens with the same id attend
         each other (stock splash/flash semantics: padding tokens sharing
         an id attend among themselves; slice their rows away)
+      window: optional sliding-window size (requires causal): each token
+        attends to positions [pos - window + 1, pos]. The work-list grid
+        enumerates only the band, so cost is O(seq * window)
       config: tile geometry; defaults via the (dtype, head_dim) dispatch table
       return_lse: also return log-sum-exp (batch, q_heads, q_len) float32
         (ref cutlass flash_attention.cu:756-771 returns {out, softmax_lse})
@@ -420,6 +445,10 @@ def flash_attention(
     assert hq % hkv == 0, f"GQA needs q_heads {hq} % kv_heads {hkv} == 0"
     if segment_ids is not None:
         segment_ids = (jnp.asarray(segment_ids[0]), jnp.asarray(segment_ids[1]))
+    if window is not None:
+        assert causal, "sliding window requires causal=True"
+        assert window >= 1, window
+        window = int(window)
     if q.dtype == jnp.float16:
         # Mosaic has no f16 vector type; bf16 is the TPU half-precision.
         # Compute in bf16 (same width, fp32 accumulation as always) and
@@ -428,7 +457,8 @@ def flash_attention(
         out = flash_attention(
             q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
             v.astype(jnp.bfloat16), causal=causal, sm_scale=sm_scale,
-            segment_ids=segment_ids, config=config, return_lse=return_lse)
+            segment_ids=segment_ids, window=window, config=config,
+            return_lse=return_lse)
         if return_lse:
             return out[0].astype(jnp.float16), out[1]
         return out.astype(jnp.float16)
@@ -444,18 +474,19 @@ def flash_attention(
         # the kernel path.
         if q_len <= 512 and kv_len <= 512:
             return _xla_attention(q, k, v, segment_ids, causal, sm_scale,
-                                  return_lse)
+                                  return_lse, window=window)
         # Interpret mode on non-TPU backends: the CPU-runnable "standalone"
         # equivalent (SURVEY.md section 4 implication).
         config = default_config(q.dtype, d, q_len, kv_len,
                                 interpret=jax.default_backend() != "tpu")
     if return_lse:
         return _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale,
-                               config)
-    return _flash(q, k, v, segment_ids, causal, sm_scale, config)
+                               config, window=window)
+    return _flash(q, k, v, segment_ids, causal, sm_scale, config, window)
 
 
-def _xla_attention(q, k, v, segment_ids, causal, sm_scale, return_lse):
+def _xla_attention(q, k, v, segment_ids, causal, sm_scale, return_lse,
+                   window=None):
     """Fused-XLA attention for tiny shapes, kernel-identical semantics:
     GQA, decode-shaped causal masking, segments, empty-row guard,
     natural-log LSE."""
@@ -470,8 +501,10 @@ def _xla_attention(q, k, v, segment_ids, causal, sm_scale, return_lse):
     guard = causal and kv_len < q_len
     if causal:
         offset = kv_len - q_len
-        valid = (jnp.arange(kv_len)[None, :]
-                 <= jnp.arange(q_len)[:, None] + offset)
+        pos = jnp.arange(q_len)[:, None] + offset
+        valid = jnp.arange(kv_len)[None, :] <= pos
+        if window is not None:
+            valid &= jnp.arange(kv_len)[None, :] >= pos - window + 1
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
     if segment_ids is not None:
         qseg, kvseg = segment_ids

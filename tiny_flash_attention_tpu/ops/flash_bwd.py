@@ -41,7 +41,7 @@ _LOG2E = math.log2(math.e)
 
 def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
                  q_len, kv_len, causal, kv_mask, precision, col0=None,
-                 qs=None, ks=None, guard=False):
+                 qs=None, ks=None, guard=False, window=None):
     """Recomputes the softmax tile p = exp(s*scale - lse).
 
     sm_scale*log2(e) is folded into the q tile so the whole computation is
@@ -65,8 +65,11 @@ def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
         if causal:
             ri = jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0)
-            mask = (ci - ri) <= (
-                qi * block_q + (kv_len - q_len) - col0)
+            diff = ci - ri
+            mask = diff <= (qi * block_q + (kv_len - q_len) - col0)
+            if window is not None:
+                mask &= diff >= (
+                    qi * block_q + (kv_len - q_len) - window + 1 - col0)
         if kv_mask:
             col_ok = col0 + ci < kv_len
             mask = col_ok if mask is None else (mask & col_ok)
@@ -87,7 +90,7 @@ def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                    *refs, causal, sm_scale, n_kv, block_q,
                    block_kv, q_len, kv_len, kv_mask, precision,
-                   with_segments, guard):
+                   with_segments, guard, window):
     if with_segments:
         qseg_ref, kvseg_ref, dq_ref, dq_scr = refs
     else:
@@ -102,6 +105,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     offset = kv_len - q_len
     should_run = (kvi * block_kv <= (qi + 1) * block_q - 1 + offset
                   if causal else True)
+    if causal and window is not None:
+        # skip tiles entirely left of the window band (first row's edge)
+        should_run &= (kvi * block_kv + block_kv - 1
+                       >= qi * block_q + offset - window + 1)
 
     @pl.when(should_run)
     def _step():
@@ -116,7 +123,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             q_len, kv_len, causal, kv_mask, precision,
             qs=None if qseg_ref is None else qseg_ref[0],
             ks=None if kvseg_ref is None else kvseg_ref[0],
-            guard=guard)
+            guard=guard, window=window)
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
@@ -135,7 +142,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     *refs, causal, sm_scale,
                     n_q, group, block_q, block_kv, q_len, kv_len, kv_mask,
-                    precision, with_segments, guard):
+                    precision, with_segments, guard, window):
     if with_segments:
         qseg_ref, kvseg_ref, dk_ref, dv_ref, dk_scr, dv_scr = refs
     else:
@@ -154,6 +161,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     offset = kv_len - q_len
     should_run = (kvi * block_kv <= (qi + 1) * block_q - 1 + offset
                   if causal else True)
+    if causal and window is not None:
+        # skip tiles entirely left of the window band (first row's edge)
+        should_run &= (kvi * block_kv + block_kv - 1
+                       >= qi * block_q + offset - window + 1)
 
     @pl.when(should_run)
     def _step():
@@ -168,7 +179,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             q_len, kv_len, causal, kv_mask, precision,
             qs=None if qseg_ref is None else qseg_ref[0],
             ks=None if kvseg_ref is None else kvseg_ref[0],
-            guard=guard)
+            guard=guard, window=window)
         # dv += p^T @ dO
         dv_scr[...] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
@@ -192,7 +203,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                       *refs,
                       causal, sm_scale, group, n_q, n_kv, block_q, block_kv,
                       q_len, kv_len, kv_mask, precision, kv_splits,
-                      with_segments, guard):
+                      with_segments, guard, window):
     if with_segments:
         (qseg_ref, kvseg_ref, dq_ref, dk_ref, dv_ref,
          dqa_scr, dka_scr, dva_scr) = refs
@@ -223,6 +234,10 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     offset = kv_len - q_len
     should_run = (kvi * block_kv <= (qi + 1) * block_q - 1 + offset
                   if causal else True)
+    if causal and window is not None:
+        # skip tiles entirely left of the window band (first row's edge)
+        should_run &= (kvi * block_kv + block_kv - 1
+                       >= qi * block_q + offset - window + 1)
 
     @pl.when(should_run)
     def _step():
@@ -244,7 +259,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                 qs=None if qseg_ref is None else qseg_ref[0],
                 ks=None if kvseg_ref is None
                 else kvseg_ref[0, :, si * sub:(si + 1) * sub],
-                guard=guard)
+                guard=guard, window=window)
             dva_scr[pl.ds(kvi * block_kv + si * sub, sub)] += \
                 jax.lax.dot_general(
                     p, do, (((0,), (0,)), ((), ())),
@@ -273,7 +288,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
                      block_q, block_kv, q_len, kv_len, q_pad, kv_pad,
                      d_pad, kv_mask, precision, interpret, guard,
-                     kv_splits=1):
+                     kv_splits=1, window=None):
     bs, hq = q.shape[:2]
     hkv = k.shape[1]
     group = hq // hkv
@@ -305,7 +320,7 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
             group=group, n_q=n_q, n_kv=n_kv, block_q=block_q,
             block_kv=block_kv, q_len=q_len, kv_len=kv_len,
             kv_mask=kv_mask, precision=precision, kv_splits=kv_splits,
-            with_segments=segs is not None, guard=guard),
+            with_segments=segs is not None, guard=guard, window=window),
         grid=(bs, hkv, group, n_kv, n_q),
         in_specs=in_specs,
         out_specs=[qspec, kvspec, kvspec],
@@ -330,8 +345,8 @@ _FUSED_SCRATCH_LIMIT = 13 * 1024 * 1024
 
 
 def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
-                        segment_ids=None, block_q=128, block_kv=128,
-                        kv_splits=1, interpret=False):
+                        segment_ids=None, window=None, block_q=128,
+                        block_kv=128, kv_splits=1, interpret=False):
     """Computes (dq, dk, dv). All arrays (b, h, s, d)-shaped like forward.
 
     segment_ids: optional (q_seg (b, q_len), kv_seg (b, kv_len)) matching
@@ -390,7 +405,7 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
             block_q=block_q, block_kv=block_kv, q_len=q_len, kv_len=kv_len,
             q_pad=q_pad, kv_pad=kv_pad, d_pad=d_pad, kv_mask=kv_mask,
             precision=precision, interpret=interpret, guard=guard,
-            kv_splits=kv_splits)
+            kv_splits=kv_splits, window=window)
         return (dq[:, :, :q_len, :d], dk[:, :, :kv_len, :d],
                 dv[:, :, :kv_len, :d])
 
@@ -413,7 +428,7 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
             _bwd_dq_kernel, causal=causal, sm_scale=sm_scale, n_kv=n_kv,
             block_q=block_q, block_kv=block_kv, q_len=q_len, kv_len=kv_len,
             kv_mask=kv_mask, precision=precision,
-            with_segments=segs is not None, guard=guard),
+            with_segments=segs is not None, guard=guard, window=window),
         grid=(bs, hq, n_q, n_kv),
         in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d_pad),
@@ -451,7 +466,7 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
             _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale, n_q=n_q,
             group=group, block_q=block_q, block_kv=block_kv, q_len=q_len,
             kv_len=kv_len, kv_mask=kv_mask, precision=precision,
-            with_segments=segs is not None, guard=guard),
+            with_segments=segs is not None, guard=guard, window=window),
         grid=(bs, hkv, n_kv, group, n_q),
         in_specs=dkv_in_specs,
         out_specs=[kvspec2, kvspec2],

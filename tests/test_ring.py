@@ -75,3 +75,25 @@ def test_ring_gqa_2d_mesh():
     got = f(q, k, v)
     want = R.mha_reference(q, k, v, causal=True, impl=R.attention_naive)
     assert_close(got, want, atol=2e-5, name="ring 2d")
+
+
+def test_ring_attention_differentiable():
+    """Ring attention backprops exactly like single-device attention: jax
+    differentiates through ppermute + the flash custom_vjp."""
+    mesh = ctx_mesh(4)
+    q, k, v = make_qkv(jax.random.key(7), 1, 2, 256, 64)
+    ring = make_ring_attention(mesh, causal=True)
+    spec = P(None, None, "ctx", None)
+    ring_s = jax.jit(jax.shard_map(ring, mesh=mesh, in_specs=(spec,) * 3,
+                                   out_specs=spec, check_vma=False))
+
+    def loss_ring(q, k, v):
+        return (ring_s(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (R.mha_reference(q, k, v, causal=True) ** 2).sum()
+
+    g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("dq dk dv".split(), g1, g2):
+        assert_close(a, b, atol=1e-3, name=name)

@@ -86,3 +86,23 @@ def test_window_decode_shape():
     got = flash_attention(q, k, v, causal=True, window=128, config=INTERP)
     want = oracle(q, k, v, 128)
     assert_close(got, want, atol=1e-4, name="decode-window")
+
+
+def test_window_with_segments():
+    """Sliding window and packed segments compose."""
+    kq, kk, kv = jax.random.split(jax.random.key(3), 3)
+    L1, L2 = 150, 106
+    L = L1 + L2
+    q = jax.random.normal(kq, (1, 4, L, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, L, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, L, 64), jnp.float32)
+    seg = jnp.asarray([[1] * L1 + [2] * L2], jnp.int32)
+    w = 80
+    got = flash_attention(q, k, v, causal=True, window=w,
+                          segment_ids=(seg, seg), config=INTERP)
+    for lo, hi in ((0, L1), (L1, L)):
+        want = flash_attention(q[:, :, lo:hi], k[:, :, lo:hi],
+                               v[:, :, lo:hi], causal=True, window=w,
+                               config=INTERP)
+        assert_close(got[:, :, lo:hi], want, atol=1e-4,
+                     name=f"win+seg[{lo}:{hi}]")

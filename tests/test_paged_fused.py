@@ -72,3 +72,44 @@ def test_fused_int8_decode():
     v_rep = jnp.repeat(v_gather, hq // hkv, axis=1)
     want = oracle_decode(q, k_rep, v_rep, lengths)
     assert_close(out, want, atol=1e-4, name="fused int8 kernel-exact")
+
+
+def test_fused_decode_window():
+    """Windowed decode matches full decode restricted to the last W tokens
+    (blocks before the window are skipped entirely)."""
+    rng = np.random.default_rng(5)
+    batch, hkv, hq, d, page, pps = 3, 2, 4, 128, 128, 8
+    num_pages = batch * pps + 3
+    k_pages = jnp.asarray(rng.standard_normal(
+        (hkv, num_pages, page, d)), jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal(
+        (hkv, num_pages, page, d)), jnp.float32)
+    page_indices = jnp.asarray(
+        rng.permutation(num_pages)[:batch * pps].reshape(batch, pps)
+        .astype(np.int32))
+    lengths = jnp.asarray([1000, 555, 257], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((batch, hq, d)), jnp.float32)
+    fused = pack_paged_cache(k_pages, v_pages, "bf16")
+    W = 200
+
+    got, _ = fused_paged_decode_attention(
+        q.astype(jnp.bfloat16), fused, lengths, page_indices,
+        page_size=page, pages_per_block=2, window=W)
+
+    # oracle: gather each sequence's last-W window and attend densely
+    for b in range(batch):
+        L = int(lengths[b])
+        rows = []
+        for pos in range(max(0, L - W), L):
+            pid = int(page_indices[b, pos // page])
+            rows.append((pid, pos % page))
+        kk = jnp.stack([k_pages[:, p, r] for p, r in rows], axis=1)
+        vv = jnp.stack([v_pages[:, p, r] for p, r in rows], axis=1)
+        kk = jnp.repeat(kk, hq // hkv, axis=0)
+        vv = jnp.repeat(vv, hq // hkv, axis=0)
+        s = jnp.einsum("hd,hkd->hk", q[b], kk) / np.sqrt(d)
+        p_ = jax.nn.softmax(s, axis=-1)
+        want = jnp.einsum("hk,hkd->hd", p_, vv)
+        np.testing.assert_allclose(
+            np.asarray(got[b], np.float32), np.asarray(want), rtol=0,
+            atol=2e-2)

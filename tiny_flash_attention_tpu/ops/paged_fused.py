@@ -117,12 +117,21 @@ def _fused_decode_kernel(
     page_size: int,
     sm_scale: float,
     quantized: bool,
+    window,
 ):
     b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     bk = pages_per_block * page_size
     ps = page_size
     length = lengths_ref[b]
     n_blocks = pl.cdiv(length, bk)
+
+    def lo_block(ln):
+        """First block inside the sliding window for a sequence length."""
+        if window is None:
+            return jnp.int32(0)
+        return jnp.maximum(ln - window, 0) // bk
+
+    lo = lo_block(length)
 
     def copies(bb, ii, hh, slot):
         off = bb * pages_per_seq
@@ -133,15 +142,15 @@ def _fused_decode_kernel(
                 pages_hbm.at[hh, page], buf.at[slot, p], sems.at[slot, p]))
         return out
 
-    @pl.when(i * bk < length)
+    @pl.when((i >= lo) & (i * bk < length))
     def _run():
-        @pl.when(i == 0)
+        @pl.when(i == lo)
         def _init():
             m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        @pl.when((b == 0) & (h == 0) & (i == 0))
+        @pl.when((b == 0) & (h == 0) & (i == lo_block(lengths_ref[0])))
         def _bootstrap():
             buf_idx[0] = 0
             for c in copies(b, i, h, 0):
@@ -151,7 +160,9 @@ def _fused_decode_kernel(
         nxt_in_seq = i + 1 < n_blocks
         nb = jnp.where(nxt_in_seq, b, jnp.where(h + 1 < hkv, b, b + 1))
         nh = jnp.where(nxt_in_seq, h, jnp.where(h + 1 < hkv, h + 1, 0))
-        ni = jnp.where(nxt_in_seq, i + 1, 0)
+        ni = jnp.where(
+            nxt_in_seq, i + 1,
+            lo_block(lengths_ref[jnp.minimum(nb, batch - 1)]))
 
         @pl.when(nb < batch)
         def _prefetch():
@@ -188,7 +199,10 @@ def _fused_decode_kernel(
                 preferred_element_type=jnp.float32)
 
         col = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
+        ok = col < length
+        if window is not None:
+            ok &= col >= length - window
+        s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -228,7 +242,7 @@ def _fused_decode_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "page_size", "sm_scale", "pages_per_block", "interpret"))
+    "page_size", "sm_scale", "pages_per_block", "window", "interpret"))
 def fused_paged_decode_attention(
     q: jax.Array,
     fused_pages: jax.Array,
@@ -238,12 +252,16 @@ def fused_paged_decode_attention(
     page_size: int,
     sm_scale: Optional[float] = None,
     pages_per_block: Optional[int] = None,
+    window: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
     """Decode attention over fused KV pages (see module docstring).
 
     q: (batch, q_heads, d). fused_pages: (kv_heads, num_pages, rows, d) where
     rows = 2*page_size (bf16) or 2*page_size + 8 (int8 with packed scales).
+    window: optional sliding window — attend only to the last `window`
+    cache entries; blocks before the window are skipped entirely (neither
+    DMA'd nor computed), so decode cost is O(window) instead of O(length).
     pages_per_block defaults to the largest divisor of pages_per_seq within
     the tuned cap (v5e sweep: bf16 peaks at ~16 pages/block = 743 GB/s of
     KV bandwidth, int8 keeps gaining to ~32 as the per-cell fixed costs
@@ -277,7 +295,7 @@ def fused_paged_decode_attention(
         _fused_decode_kernel,
         batch=batch, hkv=hkv, pages_per_block=pages_per_block,
         pages_per_seq=pages_per_seq, page_size=page_size,
-        sm_scale=sm_scale, quantized=quantized)
+        sm_scale=sm_scale, quantized=quantized, window=window)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -140,3 +140,24 @@ def test_batched_admission_distinct_slots():
     eng.steps(3)
     for s in slots:
         assert len(eng.requests[s].generated) == 4
+
+
+def test_sliding_window_decode_matches_full_forward():
+    """attn_window threads through prefill + paged decode: greedy decode
+    reproduces the windowed full-forward oracle token by token."""
+    cfg = dataclasses.replace(CFG, attn_impl="flash", attn_window=96)
+    params = make_params()
+    prompt = list(np.random.default_rng(9).integers(0, 256, size=150))
+    n_new = 8
+    eng = InferenceEngine(cfg, params, num_pages=64, page_size=128,
+                          max_seqs=2, pages_per_seq=4)
+    out = eng.generate([prompt], max_new_tokens=n_new, temperature=0.0)[0]
+
+    toks = list(prompt)
+    want = []
+    for _ in range(n_new):
+        logits = T.forward(cfg, params, jnp.asarray([toks], jnp.int32))
+        nxt = int(jnp.argmax(logits[0, len(toks) - 1]))
+        want.append(nxt)
+        toks.append(nxt)
+    assert out == want, (out, want)

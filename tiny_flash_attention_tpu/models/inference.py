@@ -79,7 +79,8 @@ def _decode_core(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
                           page_size=ps, fmt=fmt)
         new_pages.append(lp)
         o, _ = fused_paged_decode_attention(
-            q[:, :, 0], lp, lengths, page_table, page_size=ps)
+            q[:, :, 0], lp, lengths, page_table, page_size=ps,
+            window=cfg.attn_window)
         o = o.reshape(B, 1, cfg.n_q_heads * cfg.d_head).astype(cfg.dtype)
         x = x + T._proj(o, layer["wo"])
         x = T.mlp_block(cfg, layer, x)

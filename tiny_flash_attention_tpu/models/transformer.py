@@ -41,6 +41,8 @@ class ModelConfig:
     dtype: Any = jnp.bfloat16
     # "flash" (Pallas kernel) | "reference" (pure-JAX oracle)
     attn_impl: str = "flash"
+    # optional sliding-window attention (Mistral-style); None = full causal
+    attn_window: Any = None
 
     @property
     def group(self) -> int:
@@ -131,7 +133,9 @@ def _attention(cfg: ModelConfig, q, k, v, *, causal=True):
     if cfg.attn_impl in ATTN_OVERRIDE and ATTN_OVERRIDE[cfg.attn_impl]:
         return ATTN_OVERRIDE[cfg.attn_impl](q, k, v, causal=causal)
     if cfg.attn_impl == "flash":
-        return flash_attention(q, k, v, causal=causal)
+        return flash_attention(q, k, v, causal=causal,
+                               window=cfg.attn_window)
+    assert cfg.attn_window is None, "window needs attn_impl='flash'"
     return R.mha_reference(q, k, v, causal=causal,
                            impl=R.flash_attention_v2_ref).astype(q.dtype)
 

@@ -161,3 +161,29 @@ def test_sliding_window_decode_matches_full_forward():
         want.append(nxt)
         toks.append(nxt)
     assert out == want, (out, want)
+
+
+def test_ring_cache_unbounded_generation():
+    """With a sliding window the cache is a ring: generation runs past the
+    page table's raw capacity and still matches the windowed full-forward
+    oracle token by token."""
+    cfg = dataclasses.replace(CFG, attn_impl="flash", attn_window=128)
+    params = make_params()
+    ps, pps = 64, 6                     # ring capacity 384 tokens
+    prompt = list(np.random.default_rng(13).integers(0, 256, size=60))
+    n_new = 360                         # final length 420 > 384: wraps
+
+    eng = InferenceEngine(cfg, params, num_pages=32, page_size=ps,
+                          max_seqs=2, pages_per_seq=pps)
+    out = eng.generate([prompt], max_new_tokens=n_new, temperature=0.0,
+                       chunk=64)[0]
+    assert len(out) == n_new
+    assert int(eng.cache.lengths.max()) == 0  # slot freed after finish
+
+    # single-forward oracle: causal+window attention is incremental, so
+    # one forward over the final sequence yields every step's logits
+    logits = T.forward(cfg, params, jnp.asarray([prompt + out], jnp.int32))
+    want = [int(jnp.argmax(logits[0, len(prompt) + t - 1]))
+            for t in range(n_new)]
+    div = next((t for t in range(n_new) if out[t] != want[t]), None)
+    assert div is None, f"diverged at step {div}"

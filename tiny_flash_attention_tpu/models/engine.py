@@ -69,9 +69,19 @@ class InferenceEngine:
         true length.
         """
         ps = self.page_size
+        windowed = self.cfg.attn_window is not None
+        if windowed:
+            # ring cache: a fixed full-width page set per slot holds the
+            # last window of tokens for unbounded generation
+            assert self.cfg.attn_window + 2 * ps <= \
+                self.cache.pages_per_seq * ps, (
+                    "ring capacity pages_per_seq*page_size must cover "
+                    "window + 2 pages")
         slots = []
         for req in reqs:
-            slot = self.cache.alloc_slot(len(req.prompt) + req.max_new_tokens)
+            upper = (self.cache.pages_per_seq * ps if windowed
+                     else len(req.prompt) + req.max_new_tokens)
+            slot = self.cache.alloc_slot(upper)
             req.slot = slot
             self.requests[slot] = req
             slots.append(slot)
@@ -144,8 +154,10 @@ class InferenceEngine:
         active = [s for s, r in self.requests.items() if not r.done]
         if not active or n <= 0:
             return {}
-        for slot in active:
-            self.cache.grow_slot(slot, int(self.cache.lengths[slot]) + n)
+        if self.cfg.attn_window is None:
+            for slot in active:
+                self.cache.grow_slot(slot,
+                                     int(self.cache.lengths[slot]) + n)
 
         lengths = self.cache.lengths.copy()
         positions = jnp.asarray(np.where(lengths > 0, lengths, 0), jnp.int32)

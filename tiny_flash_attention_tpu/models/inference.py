@@ -66,8 +66,11 @@ def _decode_core(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
     ps = page_size
     x = params["embed"][tokens][:, None, :].astype(cfg.dtype)   # (B, 1, dm)
     lengths = positions + 1
+    # ring indexing: logical page wraps modulo the table width (identity
+    # for non-windowed configs; see kv_cache.append_tokens)
     page_ids = jnp.take_along_axis(
-        page_table, (positions // ps)[:, None], axis=1)[:, 0]   # (B,)
+        page_table, ((positions // ps) % page_table.shape[1])[:, None],
+        axis=1)[:, 0]                                           # (B,)
     rows = positions % ps
 
     new_pages = []

@@ -103,7 +103,9 @@ class PagedKVCache:
             self.page_table[slot, i] = self.free_pages.pop()
 
     def free_slot(self, slot: int) -> None:
-        n_pages = -(-int(self.lengths[slot]) // self.page_size)
+        # ring slots cap at the table width (lengths may exceed capacity)
+        n_pages = min(-(-int(self.lengths[slot]) // self.page_size),
+                      self.pages_per_seq)
         for i in range(n_pages):
             self.free_pages.append(int(self.page_table[slot, i]))
             self.page_table[slot, i] = 0
@@ -138,8 +140,11 @@ class PagedKVCache:
         """
         pos_host = np.maximum(self.lengths[slots], 0)
         positions = jnp.asarray(pos_host, jnp.int32)
-        pages = jnp.asarray(
-            self.page_table[slots, pos_host // self.page_size])
+        # logical page wraps modulo the table width: with a sliding window
+        # the table is a RING over a fixed page set (identity when the
+        # sequence fits the table, i.e. all non-windowed configs)
+        pages = jnp.asarray(self.page_table[
+            slots, (pos_host // self.page_size) % self.pages_per_seq])
         rows = positions % self.page_size
         for li in range(len(self.pages)):
             self.pages[li] = _append_layer(

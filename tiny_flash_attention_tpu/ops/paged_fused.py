@@ -126,43 +126,50 @@ def _fused_decode_kernel(
     n_blocks = pl.cdiv(length, bk)
 
     def lo_block(ln):
-        """First block inside the sliding window for a sequence length."""
+        """First LOGICAL block inside the sliding window for a length."""
         if window is None:
             return jnp.int32(0)
         return jnp.maximum(ln - window, 0) // bk
 
+    # The grid index i is window-relative; li is the logical block. With a
+    # window, logical blocks keep growing with the sequence while the grid
+    # stays max_blocks wide, and page lookups wrap modulo the table width —
+    # the cache is a RING: a fixed set of pages_per_seq pages holds the
+    # last window of tokens for an unbounded generation.
     lo = lo_block(length)
+    li = lo + i
 
-    def copies(bb, ii, hh, slot):
+    def copies(bb, gi, hh, slot):
+        lnb = lengths_ref[bb]
+        lib = lo_block(lnb) + gi
         off = bb * pages_per_seq
         out = []
         for p in range(pages_per_block):
-            page = page_indices_ref[off + ii * pages_per_block + p]
+            idx = (lib * pages_per_block + p) % pages_per_seq
+            page = page_indices_ref[off + idx]
             out.append(pltpu.make_async_copy(
                 pages_hbm.at[hh, page], buf.at[slot, p], sems.at[slot, p]))
         return out
 
-    @pl.when((i >= lo) & (i * bk < length))
+    @pl.when(li * bk < length)
     def _run():
-        @pl.when(i == lo)
+        @pl.when(i == 0)
         def _init():
             m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        @pl.when((b == 0) & (h == 0) & (i == lo_block(lengths_ref[0])))
+        @pl.when((b == 0) & (h == 0) & (i == 0))
         def _bootstrap():
             buf_idx[0] = 0
             for c in copies(b, i, h, 0):
                 c.start()
 
         slot = buf_idx[0]
-        nxt_in_seq = i + 1 < n_blocks
+        nxt_in_seq = li + 1 < n_blocks
         nb = jnp.where(nxt_in_seq, b, jnp.where(h + 1 < hkv, b, b + 1))
         nh = jnp.where(nxt_in_seq, h, jnp.where(h + 1 < hkv, h + 1, 0))
-        ni = jnp.where(
-            nxt_in_seq, i + 1,
-            lo_block(lengths_ref[jnp.minimum(nb, batch - 1)]))
+        ni = jnp.where(nxt_in_seq, i + 1, 0)
 
         @pl.when(nb < batch)
         def _prefetch():
@@ -198,7 +205,7 @@ def _fused_decode_kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        col = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = li * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         ok = col < length
         if window is not None:
             ok &= col >= length - window
@@ -231,7 +238,7 @@ def _fused_decode_kernel(
         d_acc = acc_scr.shape[-1]
         acc_scr[...] = acc_scr[...] * _widen(alpha, d_acc) + pv
 
-        @pl.when(i == n_blocks - 1)
+        @pl.when(li == n_blocks - 1)
         def _epilogue():
             l = l_scr[...]
             l_safe = jnp.where((l == 0.0) | jnp.isnan(l), 1.0, l)
@@ -280,7 +287,14 @@ def fused_paged_decode_attention(
         pages_per_block = _auto_pages_per_block(
             pages_per_seq, page_size, cap=32 if quantized else 16)
     assert pages_per_seq % pages_per_block == 0
-    max_blocks = pages_per_seq // pages_per_block
+    if window is None:
+        max_blocks = pages_per_seq // pages_per_block
+    else:
+        # ring mode: the grid covers the window's block span, independent
+        # of sequence length — the window band can straddle one block
+        # boundary, hence the +1
+        bk = pages_per_block * page_size
+        max_blocks = -(-window // bk) + 1
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     if interpret is None:

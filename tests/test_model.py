@@ -187,3 +187,16 @@ def test_ring_cache_unbounded_generation():
             for t in range(n_new)]
     div = next((t for t in range(n_new) if out[t] != want[t]), None)
     assert div is None, f"diverged at step {div}"
+
+
+def test_windowed_slots_free_all_pages():
+    """Ring slots reserve full table width; freeing must return ALL of it
+    (regression: lengths-derived freeing leaked pages per short request)."""
+    cfg = dataclasses.replace(CFG, attn_impl="flash", attn_window=96)
+    params = make_params()
+    eng = InferenceEngine(cfg, params, num_pages=64, page_size=128,
+                          max_seqs=2, pages_per_seq=4)
+    before = len(eng.cache.free_pages)
+    for round_ in range(8):   # leaks would exhaust 63 pages in <8 rounds
+        eng.generate([[1, 2, 3]], max_new_tokens=2)
+        assert len(eng.cache.free_pages) == before, round_

@@ -77,6 +77,10 @@ class InferenceEngine:
                 self.cache.pages_per_seq * ps, (
                     "ring capacity pages_per_seq*page_size must cover "
                     "window + 2 pages")
+            for req in reqs:
+                assert len(req.prompt) <= self.cache.pages_per_seq * ps, (
+                    f"prompt ({len(req.prompt)} tokens) exceeds ring "
+                    f"capacity {self.cache.pages_per_seq * ps}")
         slots = []
         for req in reqs:
             upper = (self.cache.pages_per_seq * ps if windowed

@@ -40,6 +40,7 @@ class PagedKVCache:
     free_pages: list                # host free list of page ids
     page_size: int
     fmt: str                        # "bf16" | "int8"
+    alloc_counts: np.ndarray = None  # (max_seqs,) pages held per slot
 
     # --- construction ---------------------------------------------------
 
@@ -62,6 +63,7 @@ class PagedKVCache:
             free_pages=list(range(num_pages - 1, -1, -1)),
             page_size=page_size,
             fmt=fmt,
+            alloc_counts=np.zeros((max_seqs,), np.int32),
         )
 
     @property
@@ -89,26 +91,29 @@ class PagedKVCache:
         assert len(self.free_pages) >= n_pages, "cache out of pages"
         for i in range(n_pages):
             self.page_table[slot, i] = self.free_pages.pop()
+        self.alloc_counts[slot] = n_pages
         self.lengths[slot] = -1   # reserved; any real length overwrites
         return slot
 
     def grow_slot(self, slot: int, n_tokens: int) -> None:
-        """Ensures the slot has pages covering n_tokens (page count derived
-        from the current length — page id 0 is a valid id)."""
+        """Ensures the slot holds pages covering n_tokens (tracked via
+        alloc_counts — page id 0 is a valid id)."""
         need = -(-n_tokens // self.page_size)
-        cur = -(-int(self.lengths[slot]) // self.page_size) if \
-            self.lengths[slot] else 0
+        cur = int(self.alloc_counts[slot])
         for i in range(cur, need):
             assert self.free_pages, "cache out of pages"
             self.page_table[slot, i] = self.free_pages.pop()
+            self.alloc_counts[slot] += 1
 
     def free_slot(self, slot: int) -> None:
-        # ring slots cap at the table width (lengths may exceed capacity)
-        n_pages = min(-(-int(self.lengths[slot]) // self.page_size),
-                      self.pages_per_seq)
+        # free what was ALLOCATED, not what the length implies: windowed
+        # (ring) slots reserve the full table width regardless of length,
+        # and lengths may exceed capacity after wrapping
+        n_pages = int(self.alloc_counts[slot])
         for i in range(n_pages):
             self.free_pages.append(int(self.page_table[slot, i]))
             self.page_table[slot, i] = 0
+        self.alloc_counts[slot] = 0
         self.lengths[slot] = 0
 
     # --- jitted device writes ---------------------------------------------
@@ -174,6 +179,7 @@ class PagedKVCache:
             path,
             page_table=self.page_table,
             lengths=self.lengths,
+            alloc_counts=self.alloc_counts,
             free_pages=np.asarray(self.free_pages, np.int32),
             meta=np.asarray([self.page_size, len(self.pages)], np.int32),
             fmt=np.asarray(self.fmt),
@@ -195,6 +201,7 @@ class PagedKVCache:
             free_pages=list(z["free_pages"]),
             page_size=page_size,
             fmt=str(z["fmt"]),
+            alloc_counts=z["alloc_counts"].copy(),
         )
 
 

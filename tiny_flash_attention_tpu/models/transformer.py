@@ -131,7 +131,10 @@ ATTN_OVERRIDE: dict = {}
 
 def _attention(cfg: ModelConfig, q, k, v, *, causal=True):
     if cfg.attn_impl in ATTN_OVERRIDE and ATTN_OVERRIDE[cfg.attn_impl]:
-        return ATTN_OVERRIDE[cfg.attn_impl](q, k, v, causal=causal)
+        # overrides receive the window so a sliding-window model trains
+        # with the SAME mask it serves with (train-serve parity)
+        return ATTN_OVERRIDE[cfg.attn_impl](q, k, v, causal=causal,
+                                            window=cfg.attn_window)
     if cfg.attn_impl == "flash":
         return flash_attention(q, k, v, causal=causal,
                                window=cfg.attn_window)

@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tiny_flash_attention_tpu.ops.configs import LANES
+from tiny_flash_attention_tpu.ops.flash import _pad_rows
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -388,9 +389,9 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
     if segment_ids is not None:
         qseg, kvseg = segment_ids
         qseg_w = jnp.broadcast_to(
-            _pad_seg(qseg.astype(jnp.int32), q_pad)[..., None],
+            _pad_rows(qseg.astype(jnp.int32), q_pad)[..., None],
             (bs, q_pad, LANES))
-        kvseg_l = _pad_seg(kvseg.astype(jnp.int32), kv_pad)[:, None, :]
+        kvseg_l = _pad_rows(kvseg.astype(jnp.int32), kv_pad)[:, None, :]
         segs = (qseg_w, kvseg_l)
 
     # Fused single-pass backward when its persistent scratch fits VMEM:
@@ -488,10 +489,7 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _pad_seg(x, to):
-    if x.shape[-1] == to:
-        return x
-    return jnp.pad(x, ((0, 0), (0, to - x.shape[-1])), constant_values=-1)
+
 
 
 def _pad4(x, s_to, d_to):

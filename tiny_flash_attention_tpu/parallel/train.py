@@ -69,9 +69,9 @@ def sharded_attention(mesh: Mesh):
     'model'; everything else about the kernel is unchanged."""
     spec = P("data", "model", None, None)
 
-    def attn(q, k, v, *, causal=True):
+    def attn(q, k, v, *, causal=True, window=None):
         return jax.shard_map(
-            functools.partial(flash_attention, causal=causal),
+            functools.partial(flash_attention, causal=causal, window=window),
             mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
             check_vma=False,
         )(q, k, v)

@@ -40,6 +40,42 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LOG2E = math.log2(math.e)
 
 
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _qi_bounds(kvi, *, block_q, block_kv, n_q, offset, causal, window):
+    """Inclusive q-block index range with any live tile for kv block kvi."""
+    lo = 0
+    if causal:
+        lo = jnp.maximum(
+            0, _cdiv(kvi * block_kv - block_q + 1 - offset, block_q))
+    hi = n_q - 1
+    if causal and window is not None:
+        hi = jnp.minimum(
+            hi, (kvi * block_kv + block_kv + window - 2 - offset) // block_q)
+    return lo, jnp.maximum(hi, lo)
+
+
+def _kvi_bounds(qi, *, block_q, block_kv, n_kv, offset, causal, window):
+    """Inclusive kv-block index range with any live tile for q block qi."""
+    lo = 0
+    if causal and window is not None:
+        lo = jnp.maximum(0, (qi * block_q + offset - window + 1) // block_kv)
+    hi = n_kv - 1
+    if causal:
+        hi = jnp.minimum(
+            hi, ((qi + 1) * block_q - 1 + offset) // block_kv)
+    return lo, jnp.maximum(hi, lo)
+
+
+def _clamp(i, bounds):
+    lo, hi = bounds
+    return jnp.minimum(jnp.maximum(i, lo), hi)
+
+
 def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
                  q_len, kv_len, causal, kv_mask, precision, col0=None,
                  qs=None, ks=None, guard=False, window=None):
@@ -278,7 +314,12 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                 preferred_element_type=jnp.float32, precision=precision)
 
     # Unconditional whole-block flushes (sm_scale folded here, idempotent).
-    dq_ref[0, 0] = (dqa_scr[pl.ds(qi * block_q, block_q)]
+    # The dq window index is CLAMPED to the live band exactly like the host
+    # index map, so skipped cells re-flush a valid window from scratch.
+    qc = _clamp(qi, _qi_bounds(kvi, block_q=block_q, block_kv=block_kv,
+                               n_q=n_q, offset=offset, causal=causal,
+                               window=window))
+    dq_ref[0, 0] = (dqa_scr[pl.ds(qc * block_q, block_q)]
                     * sm_scale).astype(dq_ref.dtype)
     dk_ref[0, 0] = (dka_scr[pl.ds(kvi * block_kv, block_kv)]
                     * sm_scale).astype(dk_ref.dtype)
@@ -295,14 +336,24 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
     group = hq // hkv
     n_q, n_kv = q_pad // block_q, kv_pad // block_kv
 
+    # DMA economy: cells outside the causal/window band never run, so
+    # their q-side index maps CLAMP to the band's edge — Mosaic sees a
+    # revisited block index and skips the fetch (the kernel recomputes the
+    # same clamp for its scratch/flush slices). Without this, windowed or
+    # causal training still streamed every dead q/do/lse/di tile.
+    qb = functools.partial(_qi_bounds, block_q=block_q, block_kv=block_kv,
+                           n_q=n_q, offset=kv_len - q_len, causal=causal,
+                           window=window)
     qspec = pl.BlockSpec(
         (1, 1, block_q, d_pad),
-        lambda b, hk, g, j, i, gr=group: (b, hk * gr + g, i, 0))
+        lambda b, hk, g, j, i, gr=group: (b, hk * gr + g,
+                                          _clamp(i, qb(j)), 0))
     kvspec = pl.BlockSpec((1, 1, block_kv, d_pad),
                           lambda b, hk, g, j, i: (b, hk, j, 0))
     rowspec = pl.BlockSpec(
         (1, 1, block_q, LANES),
-        lambda b, hk, g, j, i, gr=group: (b, hk * gr + g, i, 0))
+        lambda b, hk, g, j, i, gr=group: (b, hk * gr + g,
+                                          _clamp(i, qb(j)), 0))
 
     in_specs = [qspec, kvspec, kvspec, qspec, rowspec, rowspec]
     operands = [q, k, v, do, lsep, dip]
@@ -310,7 +361,7 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
         operands += list(segs)
         in_specs += [
             pl.BlockSpec((1, block_q, LANES),
-                         lambda b, hk, g, j, i: (b, i, 0)),
+                         lambda b, hk, g, j, i: (b, _clamp(i, qb(j)), 0)),
             pl.BlockSpec((1, 1, block_kv),
                          lambda b, hk, g, j, i: (b, 0, j)),
         ]
@@ -410,9 +461,16 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
         return (dq[:, :, :q_len, :d], dk[:, :, :kv_len, :d],
                 dv[:, :, :kv_len, :d])
 
+    # dead-cell DMA economy (see _flash_bwd_fused): k/v index maps clamp
+    # kv-block j into q-block i's live band, so out-of-band cells revisit
+    # a neighbor's block and fetch nothing
+    kb = functools.partial(_kvi_bounds, block_q=block_q, block_kv=block_kv,
+                           n_kv=n_kv, offset=kv_len - q_len, causal=causal,
+                           window=window)
     qspec = pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, i, j: (b, h, i, 0))
     kvspec = pl.BlockSpec((1, 1, block_kv, d_pad),
-                          lambda b, h, i, j, g=group: (b, h // g, j, 0))
+                          lambda b, h, i, j, g=group: (b, h // g,
+                                                       _clamp(j, kb(i)), 0))
     rowspec = pl.BlockSpec((1, 1, block_q, LANES),
                            lambda b, h, i, j: (b, h, i, 0))
 
@@ -422,7 +480,8 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
         dq_operands += list(segs)
         dq_in_specs += [
             pl.BlockSpec((1, block_q, LANES), lambda b, h, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 1, block_kv), lambda b, h, i, j: (b, 0, j)),
+            pl.BlockSpec((1, 1, block_kv),
+                         lambda b, h, i, j: (b, 0, _clamp(j, kb(i)))),
         ]
     dq = pl.pallas_call(
         functools.partial(
@@ -443,14 +502,19 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
     )(*dq_operands)
 
     # dkv: grid (bs, hkv, n_kv, group, n_q)
+    qb = functools.partial(_qi_bounds, block_q=block_q, block_kv=block_kv,
+                           n_q=n_q, offset=kv_len - q_len, causal=causal,
+                           window=window)
     qspec2 = pl.BlockSpec(
         (1, 1, block_q, d_pad),
-        lambda b, hk, j, g, i, gr=group: (b, hk * gr + g, i, 0))
+        lambda b, hk, j, g, i, gr=group: (b, hk * gr + g,
+                                          _clamp(i, qb(j)), 0))
     kvspec2 = pl.BlockSpec((1, 1, block_kv, d_pad),
                            lambda b, hk, j, g, i: (b, hk, j, 0))
     rowspec2 = pl.BlockSpec(
         (1, 1, block_q, LANES),
-        lambda b, hk, j, g, i, gr=group: (b, hk * gr + g, i, 0))
+        lambda b, hk, j, g, i, gr=group: (b, hk * gr + g,
+                                          _clamp(i, qb(j)), 0))
 
     dkv_in_specs = [qspec2, kvspec2, kvspec2, qspec2, rowspec2, rowspec2]
     dkv_operands = [qp, kp, vp, dop, lsep, dip]
@@ -458,7 +522,7 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
         dkv_operands += list(segs)
         dkv_in_specs += [
             pl.BlockSpec((1, block_q, LANES),
-                         lambda b, hk, j, g, i: (b, i, 0)),
+                         lambda b, hk, j, g, i: (b, _clamp(i, qb(j)), 0)),
             pl.BlockSpec((1, 1, block_kv),
                          lambda b, hk, j, g, i: (b, 0, j)),
         ]

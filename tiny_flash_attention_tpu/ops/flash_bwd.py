@@ -29,6 +29,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,6 +45,26 @@ _LOG2E = math.log2(math.e)
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _build_bwd_worklist(n_q, n_kv, block_q, block_kv, q_len, kv_len,
+                        causal, window):
+    """Static (kvi, qi) pairs with any live tile, kv-major (dk/dv windows
+    stay contiguous; dq[qi] completes at its last listed kvi)."""
+    offset = kv_len - q_len
+    kvis, qis = [], []
+    for kvi in range(n_kv):
+        lo, hi = 0, n_q - 1
+        if causal:
+            lo = max(0, _cdiv(kvi * block_kv - block_q + 1 - offset,
+                              block_q))
+            if window is not None:
+                hi = min(hi, (kvi * block_kv + block_kv + window - 2
+                              - offset) // block_q)
+        for qi in range(lo, max(hi, lo - 1) + 1):
+            kvis.append(kvi)
+            qis.append(qi)
+    return (np.asarray(kvis, np.int32), np.asarray(qis, np.int32))
 
 
 def _qi_bounds(kvi, *, block_q, block_kv, n_q, offset, causal, window):
@@ -236,7 +257,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_fused_kernel(kvi_ref, qi_ref,
+                      q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                       *refs,
                       causal, sm_scale, group, n_q, n_kv, block_q, block_kv,
                       q_len, kv_len, kv_mask, precision, kv_splits,
@@ -257,27 +279,24 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     need their previous contents: the last flush of a window carries the
     final value (the grid is sequential past the two parallel dims).
     """
-    g, kvi, qi = pl.program_id(2), pl.program_id(3), pl.program_id(4)
+    g, t = pl.program_id(2), pl.program_id(3)
+    kvi = kvi_ref[t]
+    qi = qi_ref[t]
 
-    @pl.when((g == 0) & (kvi == 0) & (qi == 0))
+    @pl.when((g == 0) & (t == 0))
     def _init_kv():
         dka_scr[...] = jnp.zeros_like(dka_scr)
         dva_scr[...] = jnp.zeros_like(dva_scr)
 
-    @pl.when((kvi == 0) & (qi == 0))
+    @pl.when(t == 0)
     def _init_q():
         dqa_scr[...] = jnp.zeros_like(dqa_scr)
 
     offset = kv_len - q_len
-    should_run = (kvi * block_kv <= (qi + 1) * block_q - 1 + offset
-                  if causal else True)
-    if causal and window is not None:
-        # skip tiles entirely left of the window band (first row's edge)
-        should_run &= (kvi * block_kv + block_kv - 1
-                       >= qi * block_q + offset - window + 1)
 
-    @pl.when(should_run)
-    def _step():
+    # every listed work item is live (the band is enumerated statically),
+    # so there is no run predicate — the body executes unconditionally
+    if True:
         q = q_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
         lse2 = lse_ref[0, 0]
@@ -313,13 +332,9 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                 ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
 
-    # Unconditional whole-block flushes (sm_scale folded here, idempotent).
-    # The dq window index is CLAMPED to the live band exactly like the host
-    # index map, so skipped cells re-flush a valid window from scratch.
-    qc = _clamp(qi, _qi_bounds(kvi, block_q=block_q, block_kv=block_kv,
-                               n_q=n_q, offset=offset, causal=causal,
-                               window=window))
-    dq_ref[0, 0] = (dqa_scr[pl.ds(qc * block_q, block_q)]
+    # Unconditional whole-block flushes (sm_scale folded here, idempotent);
+    # every listed (kvi, qi) is live, so the windows are always valid.
+    dq_ref[0, 0] = (dqa_scr[pl.ds(qi * block_q, block_q)]
                     * sm_scale).astype(dq_ref.dtype)
     dk_ref[0, 0] = (dka_scr[pl.ds(kvi * block_kv, block_kv)]
                     * sm_scale).astype(dk_ref.dtype)
@@ -336,24 +351,23 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
     group = hq // hkv
     n_q, n_kv = q_pad // block_q, kv_pad // block_kv
 
-    # DMA economy: cells outside the causal/window band never run, so
-    # their q-side index maps CLAMP to the band's edge — Mosaic sees a
-    # revisited block index and skips the fetch (the kernel recomputes the
-    # same clamp for its scratch/flush slices). Without this, windowed or
-    # causal training still streamed every dead q/do/lse/di tile.
-    qb = functools.partial(_qi_bounds, block_q=block_q, block_kv=block_kv,
-                           n_q=n_q, offset=kv_len - q_len, causal=causal,
-                           window=window)
+    # Work-list grid (the forward's design applied to the backward): a
+    # scalar-prefetched list enumerates exactly the live (kvi, qi) pairs
+    # of the causal/window band, so dead tiles cost neither grid steps
+    # nor DMA.
+    kvis, qis = _build_bwd_worklist(n_q, n_kv, block_q, block_kv,
+                                    q_len, kv_len, causal, window)
+    T = len(kvis)
+
     qspec = pl.BlockSpec(
         (1, 1, block_q, d_pad),
-        lambda b, hk, g, j, i, gr=group: (b, hk * gr + g,
-                                          _clamp(i, qb(j)), 0))
-    kvspec = pl.BlockSpec((1, 1, block_kv, d_pad),
-                          lambda b, hk, g, j, i: (b, hk, j, 0))
+        lambda b, hk, g, t, kj, qj, gr=group: (b, hk * gr + g, qj[t], 0))
+    kvspec = pl.BlockSpec(
+        (1, 1, block_kv, d_pad),
+        lambda b, hk, g, t, kj, qj: (b, hk, kj[t], 0))
     rowspec = pl.BlockSpec(
         (1, 1, block_q, LANES),
-        lambda b, hk, g, j, i, gr=group: (b, hk * gr + g,
-                                          _clamp(i, qb(j)), 0))
+        lambda b, hk, g, t, kj, qj, gr=group: (b, hk * gr + g, qj[t], 0))
 
     in_specs = [qspec, kvspec, kvspec, qspec, rowspec, rowspec]
     operands = [q, k, v, do, lsep, dip]
@@ -361,10 +375,20 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
         operands += list(segs)
         in_specs += [
             pl.BlockSpec((1, block_q, LANES),
-                         lambda b, hk, g, j, i: (b, _clamp(i, qb(j)), 0)),
+                         lambda b, hk, g, t, kj, qj: (b, qj[t], 0)),
             pl.BlockSpec((1, 1, block_kv),
-                         lambda b, hk, g, j, i: (b, 0, j)),
+                         lambda b, hk, g, t, kj, qj: (b, 0, kj[t])),
         ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bs, hkv, group, T),
+        in_specs=in_specs,
+        out_specs=[qspec, kvspec, kvspec],
+        scratch_shapes=[pltpu.VMEM((q_pad, d_pad), jnp.float32),
+                        pltpu.VMEM((kv_pad, d_pad), jnp.float32),
+                        pltpu.VMEM((kv_pad, d_pad), jnp.float32)],
+    )
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(
@@ -373,20 +397,15 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
             block_kv=block_kv, q_len=q_len, kv_len=kv_len,
             kv_mask=kv_mask, precision=precision, kv_splits=kv_splits,
             with_segments=segs is not None, guard=guard, window=window),
-        grid=(bs, hkv, group, n_kv, n_q),
-        in_specs=in_specs,
-        out_specs=[qspec, kvspec, kvspec],
+        grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((bs, hq, q_pad, d_pad), q.dtype),
                    jax.ShapeDtypeStruct((bs, hkv, kv_pad, d_pad), k.dtype),
                    jax.ShapeDtypeStruct((bs, hkv, kv_pad, d_pad), v.dtype)],
-        scratch_shapes=[pltpu.VMEM((q_pad, d_pad), jnp.float32),
-                        pltpu.VMEM((kv_pad, d_pad), jnp.float32),
-                        pltpu.VMEM((kv_pad, d_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary", "arbitrary")),
+                                 "arbitrary")),
         interpret=interpret,
-    )(*operands)
+    )(jnp.asarray(kvis), jnp.asarray(qis), *operands)
     return dq, dk, dv
 
 

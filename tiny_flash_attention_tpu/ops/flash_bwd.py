@@ -41,8 +41,6 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LOG2E = math.log2(math.e)
 
 
-
-
 def _cdiv(a, b):
     return -(-a // b)
 
@@ -52,7 +50,7 @@ def _build_bwd_worklist(n_q, n_kv, block_q, block_kv, q_len, kv_len,
     """Static (kvi, qi) pairs with any live tile, kv-major (dk/dv windows
     stay contiguous; dq[qi] completes at its last listed kvi)."""
     offset = kv_len - q_len
-    kvis, qis = [], []
+    kvis, qis, flags = [], [], []
     for kvi in range(n_kv):
         lo, hi = 0, n_q - 1
         if causal:
@@ -61,40 +59,46 @@ def _build_bwd_worklist(n_q, n_kv, block_q, block_kv, q_len, kv_len,
             if window is not None:
                 hi = min(hi, (kvi * block_kv + block_kv + window - 2
                               - offset) // block_q)
-        for qi in range(lo, max(hi, lo - 1) + 1):
+        qlist = list(range(lo, max(hi, lo - 1) + 1))
+        for idx, qi in enumerate(qlist):
             kvis.append(kvi)
             qis.append(qi)
-    return (np.asarray(kvis, np.int32), np.asarray(qis, np.int32))
+            flags.append((_BWD_FIRST if idx == 0 else 0) | (
+                _BWD_LAST if idx == len(qlist) - 1 else 0))
+    return (np.asarray(kvis, np.int32), np.asarray(qis, np.int32),
+            np.asarray(flags, np.int32))
 
 
-def _qi_bounds(kvi, *, block_q, block_kv, n_q, offset, causal, window):
-    """Inclusive q-block index range with any live tile for kv block kvi."""
-    lo = 0
-    if causal:
-        lo = jnp.maximum(
-            0, _cdiv(kvi * block_kv - block_q + 1 - offset, block_q))
-    hi = n_q - 1
-    if causal and window is not None:
-        hi = jnp.minimum(
-            hi, (kvi * block_kv + block_kv + window - 2 - offset) // block_q)
-    return lo, jnp.maximum(hi, lo)
+def _build_bwd_worklist_qmajor(n_q, n_kv, block_q, block_kv, q_len,
+                               kv_len, causal, window):
+    """Static (qi, kvi, flags) triples, q-major, for the dq kernel: FIRST
+    marks each qi's first live kv tile (scratch reset), LAST its last
+    (result write)."""
+    offset = kv_len - q_len
+    qis, kvis, flags = [], [], []
+    for qi in range(n_q):
+        lo, hi = 0, n_kv - 1
+        if causal:
+            hi = min(hi, ((qi + 1) * block_q - 1 + offset) // block_kv)
+            hi = max(hi, 0)
+            if window is not None:
+                lo = max(0, (qi * block_q + offset - window + 1) // block_kv)
+                lo = min(lo, hi)
+        for kvi in range(lo, hi + 1):
+            f = (_BWD_FIRST if kvi == lo else 0) | (
+                _BWD_LAST if kvi == hi else 0)
+            qis.append(qi)
+            kvis.append(kvi)
+            flags.append(f)
+    return (np.asarray(qis, np.int32), np.asarray(kvis, np.int32),
+            np.asarray(flags, np.int32))
 
 
-def _kvi_bounds(qi, *, block_q, block_kv, n_kv, offset, causal, window):
-    """Inclusive kv-block index range with any live tile for q block qi."""
-    lo = 0
-    if causal and window is not None:
-        lo = jnp.maximum(0, (qi * block_q + offset - window + 1) // block_kv)
-    hi = n_kv - 1
-    if causal:
-        hi = jnp.minimum(
-            hi, ((qi + 1) * block_q - 1 + offset) // block_kv)
-    return lo, jnp.maximum(hi, lo)
+_BWD_FIRST, _BWD_LAST = 1, 2
 
 
-def _clamp(i, bounds):
-    lo, hi = bounds
-    return jnp.minimum(jnp.maximum(i, lo), hi)
+
+
 
 
 def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
@@ -145,7 +149,8 @@ def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
     return p
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_dq_kernel(qi_ref, kvi_ref, flags_ref,
+                   q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                    *refs, causal, sm_scale, n_kv, block_q,
                    block_kv, q_len, kv_len, kv_mask, precision,
                    with_segments, guard, window):
@@ -154,22 +159,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     else:
         dq_ref, dq_scr = refs
         qseg_ref = kvseg_ref = None
-    qi, kvi = pl.program_id(2), pl.program_id(3)
+    t = pl.program_id(2)
+    qi, kvi, flags = qi_ref[t], kvi_ref[t], flags_ref[t]
 
-    @pl.when(kvi == 0)
+    @pl.when(flags & _BWD_FIRST != 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    offset = kv_len - q_len
-    should_run = (kvi * block_kv <= (qi + 1) * block_q - 1 + offset
-                  if causal else True)
-    if causal and window is not None:
-        # skip tiles entirely left of the window band (first row's edge)
-        should_run &= (kvi * block_kv + block_kv - 1
-                       >= qi * block_q + offset - window + 1)
-
-    @pl.when(should_run)
-    def _step():
+    if True:  # every listed (qi, kvi) is live — band enumerated statically
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -192,12 +189,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
-    @pl.when(kvi == n_kv - 1)
+    @pl.when(flags & _BWD_LAST != 0)
     def _done():
         dq_ref[0, 0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+def _bwd_dkv_kernel(kvi_ref, qi_ref, flags_ref,
+                    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     *refs, causal, sm_scale,
                     n_q, group, block_q, block_kv, q_len, kv_len, kv_mask,
                     precision, with_segments, guard, window):
@@ -208,24 +206,20 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         qseg_ref = kvseg_ref = None
     # grid: (bs, hkv, n_kv, group, n_q); dims 3 and 4 are sequential and the
     # dk/dv output block index ignores them, so scratch accumulates across
-    # the whole q-head group and all q blocks.
-    kvi, g, qi = pl.program_id(2), pl.program_id(3), pl.program_id(4)
+    # the whole q-head group and all q blocks. Grid (b, hk, T, g): the
+    # work list is kv-major, so each kvi's scratch accumulation spans a
+    # contiguous run of (t, g) steps.
+    t, g = pl.program_id(2), pl.program_id(3)
+    kvi, qi, flags = kvi_ref[t], qi_ref[t], flags_ref[t]
 
-    @pl.when((qi == 0) & (g == 0))
+    @pl.when((flags & _BWD_FIRST != 0) & (g == 0))
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
     offset = kv_len - q_len
-    should_run = (kvi * block_kv <= (qi + 1) * block_q - 1 + offset
-                  if causal else True)
-    if causal and window is not None:
-        # skip tiles entirely left of the window band (first row's edge)
-        should_run &= (kvi * block_kv + block_kv - 1
-                       >= qi * block_q + offset - window + 1)
 
-    @pl.when(should_run)
-    def _step():
+    if True:  # every listed (kvi, qi) is live — band enumerated statically
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -251,7 +245,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
-    @pl.when((qi == n_q - 1) & (g == group - 1))
+    @pl.when((flags & _BWD_LAST != 0) & (g == group - 1))
     def _done():
         dk_ref[0, 0] = (dk_scr[...] * sm_scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
@@ -355,8 +349,8 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
     # scalar-prefetched list enumerates exactly the live (kvi, qi) pairs
     # of the causal/window band, so dead tiles cost neither grid steps
     # nor DMA.
-    kvis, qis = _build_bwd_worklist(n_q, n_kv, block_q, block_kv,
-                                    q_len, kv_len, causal, window)
+    kvis, qis, _ = _build_bwd_worklist(n_q, n_kv, block_q, block_kv,
+                                       q_len, kv_len, causal, window)
     T = len(kvis)
 
     qspec = pl.BlockSpec(
@@ -480,60 +474,66 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
         return (dq[:, :, :q_len, :d], dk[:, :, :kv_len, :d],
                 dv[:, :, :kv_len, :d])
 
-    # dead-cell DMA economy (see _flash_bwd_fused): k/v index maps clamp
-    # kv-block j into q-block i's live band, so out-of-band cells revisit
-    # a neighbor's block and fetch nothing
-    kb = functools.partial(_kvi_bounds, block_q=block_q, block_kv=block_kv,
-                           n_kv=n_kv, offset=kv_len - q_len, causal=causal,
-                           window=window)
-    qspec = pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, i, j: (b, h, i, 0))
-    kvspec = pl.BlockSpec((1, 1, block_kv, d_pad),
-                          lambda b, h, i, j, g=group: (b, h // g,
-                                                       _clamp(j, kb(i)), 0))
+    # dq: q-major work list (the same dead-tile elimination as the fused
+    # path, applied to the long-sequence fallback)
+    dq_qis, dq_kvis, dq_flags = _build_bwd_worklist_qmajor(
+        n_q, n_kv, block_q, block_kv, q_len, kv_len, causal, window)
+    T_dq = len(dq_qis)
+    qspec = pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda b, h, t, qj, kj, fl: (b, h, qj[t], 0))
+    kvspec = pl.BlockSpec(
+        (1, 1, block_kv, d_pad),
+        lambda b, h, t, qj, kj, fl, g=group: (b, h // g, kj[t], 0))
     rowspec = pl.BlockSpec((1, 1, block_q, LANES),
-                           lambda b, h, i, j: (b, h, i, 0))
+                           lambda b, h, t, qj, kj, fl: (b, h, qj[t], 0))
 
     dq_in_specs = [qspec, kvspec, kvspec, qspec, rowspec, rowspec]
     dq_operands = [qp, kp, vp, dop, lsep, dip]
     if segs is not None:
         dq_operands += list(segs)
         dq_in_specs += [
-            pl.BlockSpec((1, block_q, LANES), lambda b, h, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES),
+                         lambda b, h, t, qj, kj, fl: (b, qj[t], 0)),
             pl.BlockSpec((1, 1, block_kv),
-                         lambda b, h, i, j: (b, 0, _clamp(j, kb(i)))),
+                         lambda b, h, t, qj, kj, fl: (b, 0, kj[t])),
         ]
+    dq_grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bs, hq, T_dq),
+        in_specs=dq_in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d_pad),
+                               lambda b, h, t, qj, kj, fl: (b, h, qj[t], 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+    )
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, causal=causal, sm_scale=sm_scale, n_kv=n_kv,
             block_q=block_q, block_kv=block_kv, q_len=q_len, kv_len=kv_len,
             kv_mask=kv_mask, precision=precision,
             with_segments=segs is not None, guard=guard, window=window),
-        grid=(bs, hq, n_q, n_kv),
-        in_specs=dq_in_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, d_pad),
-                               lambda b, h, i, j: (b, h, i, 0)),
+        grid_spec=dq_grid_spec,
         out_shape=jax.ShapeDtypeStruct((bs, hq, q_pad, d_pad), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(*dq_operands)
+    )(jnp.asarray(dq_qis), jnp.asarray(dq_kvis), jnp.asarray(dq_flags),
+      *dq_operands)
 
-    # dkv: grid (bs, hkv, n_kv, group, n_q)
-    qb = functools.partial(_qi_bounds, block_q=block_q, block_kv=block_kv,
-                           n_q=n_q, offset=kv_len - q_len, causal=causal,
-                           window=window)
+    # dkv: kv-major work list; grid (bs, hkv, T, group)
+    dk_kvis, dk_qis, dk_flags = _build_bwd_worklist(
+        n_q, n_kv, block_q, block_kv, q_len, kv_len, causal, window)
+    T_dkv = len(dk_kvis)
     qspec2 = pl.BlockSpec(
         (1, 1, block_q, d_pad),
-        lambda b, hk, j, g, i, gr=group: (b, hk * gr + g,
-                                          _clamp(i, qb(j)), 0))
-    kvspec2 = pl.BlockSpec((1, 1, block_kv, d_pad),
-                           lambda b, hk, j, g, i: (b, hk, j, 0))
+        lambda b, hk, t, g, kj, qj, fl, gr=group: (b, hk * gr + g,
+                                                   qj[t], 0))
+    kvspec2 = pl.BlockSpec(
+        (1, 1, block_kv, d_pad),
+        lambda b, hk, t, g, kj, qj, fl: (b, hk, kj[t], 0))
     rowspec2 = pl.BlockSpec(
         (1, 1, block_q, LANES),
-        lambda b, hk, j, g, i, gr=group: (b, hk * gr + g,
-                                          _clamp(i, qb(j)), 0))
+        lambda b, hk, t, g, kj, qj, fl, gr=group: (b, hk * gr + g,
+                                                   qj[t], 0))
 
     dkv_in_specs = [qspec2, kvspec2, kvspec2, qspec2, rowspec2, rowspec2]
     dkv_operands = [qp, kp, vp, dop, lsep, dip]
@@ -541,28 +541,33 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
         dkv_operands += list(segs)
         dkv_in_specs += [
             pl.BlockSpec((1, block_q, LANES),
-                         lambda b, hk, j, g, i: (b, _clamp(i, qb(j)), 0)),
+                         lambda b, hk, t, g, kj, qj, fl: (b, qj[t], 0)),
             pl.BlockSpec((1, 1, block_kv),
-                         lambda b, hk, j, g, i: (b, 0, j)),
+                         lambda b, hk, t, g, kj, qj, fl: (b, 0, kj[t])),
         ]
+    dkv_grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bs, hkv, T_dkv, group),
+        in_specs=dkv_in_specs,
+        out_specs=[kvspec2, kvspec2],
+        scratch_shapes=[pltpu.VMEM((block_kv, d_pad), jnp.float32),
+                        pltpu.VMEM((block_kv, d_pad), jnp.float32)],
+    )
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale, n_q=n_q,
             group=group, block_q=block_q, block_kv=block_kv, q_len=q_len,
             kv_len=kv_len, kv_mask=kv_mask, precision=precision,
             with_segments=segs is not None, guard=guard, window=window),
-        grid=(bs, hkv, n_kv, group, n_q),
-        in_specs=dkv_in_specs,
-        out_specs=[kvspec2, kvspec2],
+        grid_spec=dkv_grid_spec,
         out_shape=[jax.ShapeDtypeStruct((bs, hkv, kv_pad, d_pad), k.dtype),
                    jax.ShapeDtypeStruct((bs, hkv, kv_pad, d_pad), v.dtype)],
-        scratch_shapes=[pltpu.VMEM((block_kv, d_pad), jnp.float32),
-                        pltpu.VMEM((block_kv, d_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
         interpret=interpret,
-    )(*dkv_operands)
+    )(jnp.asarray(dk_kvis), jnp.asarray(dk_qis), jnp.asarray(dk_flags),
+      *dkv_operands)
 
     return (dq[:, :, :q_len, :d], dk[:, :, :kv_len, :d],
             dv[:, :, :kv_len, :d])
@@ -570,8 +575,6 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
-
-
 
 
 

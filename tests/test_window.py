@@ -106,3 +106,26 @@ def test_window_with_segments():
                                config=INTERP)
         assert_close(got[:, :, lo:hi], want, atol=1e-4,
                      name=f"win+seg[{lo}:{hi}]")
+
+
+def test_window_grads_cross_length():
+    """Windowed backward with kv history (q_len < kv_len): grads match the
+    masked oracle where defined. (The zeros of dk/dv blocks outside the
+    band are validated on hardware — interpret mode zero-fills outputs and
+    cannot distinguish an unwritten block from a written zero.)"""
+    kq, kk, kv, kd = jax.random.split(jax.random.key(5), 4)
+    q = jax.random.normal(kq, (1, 2, 128, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, 512, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, 512, 64), jnp.float32)
+    w = 100
+
+    def loss(fn):
+        return lambda q, k, v: (fn(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    g1 = jax.grad(loss(lambda q, k, v: flash_attention(
+        q, k, v, causal=True, window=w, config=INTERP)),
+        argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss(lambda q, k, v: oracle(q, k, v, w)),
+                  argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("dq dk dv".split(), g1, g2):
+        assert_close(a, b, atol=1e-3, name=name)

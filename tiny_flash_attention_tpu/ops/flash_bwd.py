@@ -45,10 +45,21 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+_BWD_FIRST, _BWD_LAST = 1, 2
+
+
 def _build_bwd_worklist(n_q, n_kv, block_q, block_kv, q_len, kv_len,
                         causal, window):
-    """Static (kvi, qi) pairs with any live tile, kv-major (dk/dv windows
-    stay contiguous; dq[qi] completes at its last listed kvi)."""
+    """Static (kvi, qi) pairs, kv-major (dk/dv windows stay contiguous;
+    dq[qi] completes at its last listed kvi).
+
+    EVERY kv block gets at least one item and EVERY q block appears at
+    least once (dead tiles — outside the window band, or q rows that
+    attend nothing in q_len > kv_len shapes — carry one fully-masked item
+    whose p is exactly zero), because an output block with no grid step
+    would be returned as uninitialized memory where the semantics require
+    zeros.
+    """
     offset = kv_len - q_len
     kvis, qis, flags = [], [], []
     for kvi in range(n_kv):
@@ -59,7 +70,11 @@ def _build_bwd_worklist(n_q, n_kv, block_q, block_kv, q_len, kv_len,
             if window is not None:
                 hi = min(hi, (kvi * block_kv + block_kv + window - 2
                               - offset) // block_q)
-        qlist = list(range(lo, max(hi, lo - 1) + 1))
+        if kvi == 0:
+            lo = 0          # cover q blocks that attend nothing (masked)
+        if hi < lo or lo > n_q - 1:
+            lo = hi = min(max(lo, 0), n_q - 1)   # dead kv block: 1 item
+        qlist = list(range(lo, hi + 1))
         for idx, qi in enumerate(qlist):
             kvis.append(kvi)
             qis.append(qi)
@@ -73,7 +88,8 @@ def _build_bwd_worklist_qmajor(n_q, n_kv, block_q, block_kv, q_len,
                                kv_len, causal, window):
     """Static (qi, kvi, flags) triples, q-major, for the dq kernel: FIRST
     marks each qi's first live kv tile (scratch reset), LAST its last
-    (result write)."""
+    (result write). Every qi emits at least one item (a dead q block's
+    single masked item flushes zeros)."""
     offset = kv_len - q_len
     qis, kvis, flags = [], [], []
     for qi in range(n_q):
@@ -92,9 +108,6 @@ def _build_bwd_worklist_qmajor(n_q, n_kv, block_q, block_kv, q_len,
             flags.append(f)
     return (np.asarray(qis, np.int32), np.asarray(kvis, np.int32),
             np.asarray(flags, np.int32))
-
-
-_BWD_FIRST, _BWD_LAST = 1, 2
 
 
 
@@ -151,7 +164,7 @@ def _recompute_p(q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
 
 def _bwd_dq_kernel(qi_ref, kvi_ref, flags_ref,
                    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                   *refs, causal, sm_scale, n_kv, block_q,
+                   *refs, causal, sm_scale, block_q,
                    block_kv, q_len, kv_len, kv_mask, precision,
                    with_segments, guard, window):
     if with_segments:
@@ -166,28 +179,27 @@ def _bwd_dq_kernel(qi_ref, kvi_ref, flags_ref,
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    if True:  # every listed (qi, kvi) is live — band enumerated statically
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse2 = lse_ref[0, 0]         # (block_q, LANES), log2-domain
-        di = di_ref[0, 0]            # (block_q, LANES)
-        p = _recompute_p(
-            q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
-            q_len, kv_len, causal, kv_mask, precision,
-            qs=None if qseg_ref is None else qseg_ref[0],
-            ks=None if kvseg_ref is None else kvseg_ref[0],
-            guard=guard, window=window)
-        dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        # ds here is unscaled by sm_scale; the scale is folded into the
-        # (block_q, d) writeback below instead of a (block_q, block_kv) op
-        ds = p * (dp - jnp.tile(di, (1, block_kv // LANES)))
-        dq_scr[...] += jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse2 = lse_ref[0, 0]         # (block_q, LANES), log2-domain
+    di = di_ref[0, 0]            # (block_q, LANES)
+    p = _recompute_p(
+        q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
+        q_len, kv_len, causal, kv_mask, precision,
+        qs=None if qseg_ref is None else qseg_ref[0],
+        ks=None if kvseg_ref is None else kvseg_ref[0],
+        guard=guard, window=window)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    # ds here is unscaled by sm_scale; the scale is folded into the
+    # (block_q, d) writeback below instead of a (block_q, block_kv) op
+    ds = p * (dp - jnp.tile(di, (1, block_kv // LANES)))
+    dq_scr[...] += jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(flags & _BWD_LAST != 0)
     def _done():
@@ -197,7 +209,7 @@ def _bwd_dq_kernel(qi_ref, kvi_ref, flags_ref,
 def _bwd_dkv_kernel(kvi_ref, qi_ref, flags_ref,
                     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                     *refs, causal, sm_scale,
-                    n_q, group, block_q, block_kv, q_len, kv_len, kv_mask,
+                    group, block_q, block_kv, q_len, kv_len, kv_mask,
                     precision, with_segments, guard, window):
     if with_segments:
         qseg_ref, kvseg_ref, dk_ref, dv_ref, dk_scr, dv_scr = refs
@@ -217,33 +229,31 @@ def _bwd_dkv_kernel(kvi_ref, qi_ref, flags_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    offset = kv_len - q_len
 
-    if True:  # every listed (kvi, qi) is live — band enumerated statically
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse2 = lse_ref[0, 0]         # (block_q, LANES), log2-domain
-        di = di_ref[0, 0]            # (block_q, LANES)
-        p = _recompute_p(
-            q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
-            q_len, kv_len, causal, kv_mask, precision,
-            qs=None if qseg_ref is None else qseg_ref[0],
-            ks=None if kvseg_ref is None else kvseg_ref[0],
-            guard=guard, window=window)
-        # dv += p^T @ dO
-        dv_scr[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        ds = p * (dp - jnp.tile(di, (1, block_kv // LANES)))
-        # dk += ds^T @ q (sm_scale folded into the writeback)
-        dk_scr[...] += jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse2 = lse_ref[0, 0]         # (block_q, LANES), log2-domain
+    di = di_ref[0, 0]            # (block_q, LANES)
+    p = _recompute_p(
+        q, k, lse2, sm_scale, qi, kvi, block_q, block_kv,
+        q_len, kv_len, causal, kv_mask, precision,
+        qs=None if qseg_ref is None else qseg_ref[0],
+        ks=None if kvseg_ref is None else kvseg_ref[0],
+        guard=guard, window=window)
+    # dv += p^T @ dO
+    dv_scr[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    ds = p * (dp - jnp.tile(di, (1, block_kv // LANES)))
+    # dk += ds^T @ q (sm_scale folded into the writeback)
+    dk_scr[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when((flags & _BWD_LAST != 0) & (g == group - 1))
     def _done():
@@ -254,7 +264,7 @@ def _bwd_dkv_kernel(kvi_ref, qi_ref, flags_ref,
 def _bwd_fused_kernel(kvi_ref, qi_ref,
                       q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                       *refs,
-                      causal, sm_scale, group, n_q, n_kv, block_q, block_kv,
+                      causal, sm_scale, group, block_q, block_kv,
                       q_len, kv_len, kv_mask, precision, kv_splits,
                       with_segments, guard, window):
     if with_segments:
@@ -286,45 +296,42 @@ def _bwd_fused_kernel(kvi_ref, qi_ref,
     def _init_q():
         dqa_scr[...] = jnp.zeros_like(dqa_scr)
 
-    offset = kv_len - q_len
 
-    # every listed work item is live (the band is enumerated statically),
     # so there is no run predicate — the body executes unconditionally
-    if True:
-        q = q_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse2 = lse_ref[0, 0]
-        di = di_ref[0, 0]
-        # kv sub-tiling: sub-tile chains are independent except the dq
-        # accumulation, so Mosaic overlaps one sub-tile's softmax/ds VPU
-        # work with the next one's matmuls (see ops/flash.py kv_splits).
-        sub = block_kv // kv_splits
-        for si in range(kv_splits):
-            kv0 = kvi * block_kv + si * sub
-            k = k_ref[0, 0, si * sub:(si + 1) * sub]
-            v = v_ref[0, 0, si * sub:(si + 1) * sub]
-            p = _recompute_p(
-                q, k, lse2, sm_scale, qi, 0, block_q, sub, q_len, kv_len,
-                causal, kv_mask, precision, col0=kv0,
-                qs=None if qseg_ref is None else qseg_ref[0],
-                ks=None if kvseg_ref is None
-                else kvseg_ref[0, :, si * sub:(si + 1) * sub],
-                guard=guard, window=window)
-            dva_scr[pl.ds(kvi * block_kv + si * sub, sub)] += \
-                jax.lax.dot_general(
-                    p, do, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=precision)
-            dp = jax.lax.dot_general(
-                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+    q = q_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse2 = lse_ref[0, 0]
+    di = di_ref[0, 0]
+    # kv sub-tiling: sub-tile chains are independent except the dq
+    # accumulation, so Mosaic overlaps one sub-tile's softmax/ds VPU
+    # work with the next one's matmuls (see ops/flash.py kv_splits).
+    sub = block_kv // kv_splits
+    for si in range(kv_splits):
+        kv0 = kvi * block_kv + si * sub
+        k = k_ref[0, 0, si * sub:(si + 1) * sub]
+        v = v_ref[0, 0, si * sub:(si + 1) * sub]
+        p = _recompute_p(
+            q, k, lse2, sm_scale, qi, 0, block_q, sub, q_len, kv_len,
+            causal, kv_mask, precision, col0=kv0,
+            qs=None if qseg_ref is None else qseg_ref[0],
+            ks=None if kvseg_ref is None
+            else kvseg_ref[0, :, si * sub:(si + 1) * sub],
+            guard=guard, window=window)
+        dva_scr[pl.ds(kvi * block_kv + si * sub, sub)] += \
+            jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
-            ds = p * (dp - jnp.tile(di, (1, sub // LANES)))
-            dka_scr[pl.ds(kvi * block_kv + si * sub, sub)] += \
-                jax.lax.dot_general(
-                    ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=precision)
-            dqa_scr[pl.ds(qi * block_q, block_q)] += jax.lax.dot_general(
-                ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        ds = p * (dp - jnp.tile(di, (1, sub // LANES)))
+        dka_scr[pl.ds(kvi * block_kv + si * sub, sub)] += \
+            jax.lax.dot_general(
+                ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
+        dqa_scr[pl.ds(qi * block_q, block_q)] += jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
 
     # Unconditional whole-block flushes (sm_scale folded here, idempotent);
     # every listed (kvi, qi) is live, so the windows are always valid.
@@ -387,7 +394,7 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel, causal=causal, sm_scale=sm_scale,
-            group=group, n_q=n_q, n_kv=n_kv, block_q=block_q,
+            group=group, block_q=block_q,
             block_kv=block_kv, q_len=q_len, kv_len=kv_len,
             kv_mask=kv_mask, precision=precision, kv_splits=kv_splits,
             with_segments=segs is not None, guard=guard, window=window),
@@ -507,7 +514,7 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
     )
     dq = pl.pallas_call(
         functools.partial(
-            _bwd_dq_kernel, causal=causal, sm_scale=sm_scale, n_kv=n_kv,
+            _bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
             block_q=block_q, block_kv=block_kv, q_len=q_len, kv_len=kv_len,
             kv_mask=kv_mask, precision=precision,
             with_segments=segs is not None, guard=guard, window=window),
@@ -555,7 +562,7 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
     )
     dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale, n_q=n_q,
+            _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
             group=group, block_q=block_q, block_kv=block_kv, q_len=q_len,
             kv_len=kv_len, kv_mask=kv_mask, precision=precision,
             with_segments=segs is not None, guard=guard, window=window),

@@ -116,6 +116,61 @@ inline uint16_t bf16_store(float f) {
   return uint16_t((x + rounding) >> 16);
 }
 
+// fp16 (IEEE binary16) <-> fp32 (archive utils.cpp:105-136 equivalents;
+// bit-exact incl. subnormals/inf/nan, round-to-nearest-even on store)
+inline float fp16_load(uint16_t h) {
+  const uint32_t sign = uint32_t(h & 0x8000) << 16;
+  const uint32_t exp = (h >> 10) & 0x1F;
+  const uint32_t mant = h & 0x3FF;
+  uint32_t y;
+  if (exp == 0) {
+    if (mant == 0) {
+      y = sign;  // +-0
+    } else {     // subnormal: renormalize
+      uint32_t e = 127 - 15 + 1;
+      uint32_t m = mant;
+      while (!(m & 0x400)) {
+        m <<= 1;
+        --e;
+      }
+      y = sign | (e << 23) | ((m & 0x3FF) << 13);
+    }
+  } else if (exp == 0x1F) {
+    y = sign | 0x7F800000u | (mant << 13);  // inf / nan
+  } else {
+    y = sign | ((exp + 127 - 15) << 23) | (mant << 13);
+  }
+  float f;
+  std::memcpy(&f, &y, 4);
+  return f;
+}
+
+inline uint16_t fp16_store(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  const uint16_t sign = uint16_t((x >> 16) & 0x8000);
+  const int32_t exp = int32_t((x >> 23) & 0xFF) - 127 + 15;
+  uint32_t mant = x & 0x7FFFFF;
+  if (((x >> 23) & 0xFF) == 0xFF)  // inf / nan
+    return uint16_t(sign | 0x7C00 | (mant ? 0x200 : 0));
+  if (exp >= 0x1F) return uint16_t(sign | 0x7C00);  // overflow -> inf
+  if (exp <= 0) {
+    if (exp < -10) return sign;  // underflow -> +-0
+    // subnormal: shift mantissa (with implicit leading 1) into place
+    mant |= 0x800000;
+    const int shift = 14 - exp;
+    const uint32_t half = 1u << (shift - 1);
+    uint32_t r = mant >> shift;
+    if ((mant & (half * 2 - 1)) > half || ((mant & (half * 2 - 1)) == half && (r & 1)))
+      ++r;  // round to nearest even
+    return uint16_t(sign | r);
+  }
+  uint32_t r = (uint32_t(exp) << 10) | (mant >> 13);
+  const uint32_t rem = mant & 0x1FFF;
+  if (rem > 0x1000 || (rem == 0x1000 && (r & 1))) ++r;  // RNE (may carry->inf)
+  return uint16_t(sign | r);
+}
+
 // kv row-length for causal decode shapes: query row i attends to
 // kv positions [0, i + 1 + (kv_len - q_len)) (ref c/csrc/attn.cpp:51-53).
 inline int64_t causal_kv_limit(int64_t i, const AttnParams& p) {
@@ -179,6 +234,14 @@ void bf16_to_f32(const uint16_t* src, float* dst, int64_t n) {
 
 void f32_to_bf16(const float* src, uint16_t* dst, int64_t n) {
   for (int64_t i = 0; i < n; ++i) dst[i] = bf16_store(src[i]);
+}
+
+void fp16_to_f32(const uint16_t* src, float* dst, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) dst[i] = fp16_load(src[i]);
+}
+
+void f32_to_fp16(const float* src, uint16_t* dst, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) dst[i] = fp16_store(src[i]);
 }
 
 void naive_attn_f32(const float* q, const float* k, const float* v,
@@ -255,6 +318,19 @@ void flash_attn_bf16(const uint16_t* q, const uint16_t* k, const uint16_t* v,
   bf16_to_f32(v, vf_.data(), nkv);
   flash_attn_f32(qf.data(), kf.data(), vf_.data(), of.data(), lse, pp);
   f32_to_bf16(of.data(), out, nq);
+}
+
+void flash_attn_fp16(const uint16_t* q, const uint16_t* k, const uint16_t* v,
+                     uint16_t* out, float* lse, const AttnParams* pp) {
+  const AttnParams p = *pp;
+  const int64_t nq = p.bs * p.hq * p.q_len * p.d;
+  const int64_t nkv = p.bs * p.hkv * p.kv_len * p.d;
+  std::vector<float> qf(nq), kf(nkv), vf_(nkv), of(nq);
+  fp16_to_f32(q, qf.data(), nq);
+  fp16_to_f32(k, kf.data(), nkv);
+  fp16_to_f32(v, vf_.data(), nkv);
+  flash_attn_f32(qf.data(), kf.data(), vf_.data(), of.data(), lse, pp);
+  f32_to_fp16(of.data(), out, nq);
 }
 
 }  // extern "C"

@@ -35,9 +35,15 @@ void flash_attn_f32(const float* q, const float* k, const float* v,
 void flash_attn_bf16(const uint16_t* q, const uint16_t* k, const uint16_t* v,
                      uint16_t* out, float* lse, const AttnParams* p);
 
+// fp16 (IEEE binary16, uint16 payload) variant, same staging scheme
+void flash_attn_fp16(const uint16_t* q, const uint16_t* k, const uint16_t* v,
+                     uint16_t* out, float* lse, const AttnParams* p);
+
 // dtype conversion helpers (archive utils.cpp:42-136 equivalents)
 void bf16_to_f32(const uint16_t* src, float* dst, int64_t n);
 void f32_to_bf16(const float* src, uint16_t* dst, int64_t n);
+void fp16_to_f32(const uint16_t* src, float* dst, int64_t n);
+void f32_to_fp16(const float* src, uint16_t* dst, int64_t n);
 
 int simd_width();  // lanes of the compiled SIMD path (1 = scalar)
 }

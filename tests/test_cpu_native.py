@@ -64,6 +64,46 @@ def test_native_bf16():
     assert_close(got.astype(np.float32), want, atol=2e-2)
 
 
+def test_native_fp16():
+    q, k, v = make_qkv(5, 1, 2, 2, 64, 64, 64)
+    qh, kh, vh = (x.astype(np.float16) for x in (q, k, v))
+    want = R.mha_reference(jnp.asarray(qh), jnp.asarray(kh), jnp.asarray(vh),
+                           causal=True, impl=R.attention_naive)
+    got = cpu.flash_attn_fp16(qh, kh, vh, causal=True)
+    assert got.dtype == np.float16
+    assert_close(got.astype(np.float32), want, atol=1e-2)
+
+
+def test_fp16_conversions_bit_exact():
+    """fp16<->f32 conversions match IEEE semantics exactly (all 65536 load
+    patterns; RNE store incl. subnormals/overflow/signed zero)."""
+    import ctypes
+    lib = cpu._load()
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    src = np.arange(65536, dtype=np.uint16)
+    dst = np.empty(65536, np.float32)
+    lib.fp16_to_f32(src.ctypes.data_as(u16p), dst.ctypes.data_as(f32p), 65536)
+    want = src.view(np.float16).astype(np.float32)
+    assert ((dst == want) | (np.isnan(dst) & np.isnan(want))).all()
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.normal(0, 1, 50000), rng.normal(0, 1e-6, 20000),
+        rng.normal(0, 1e5, 20000),
+        [0.0, -0.0, np.inf, -np.inf, np.nan, 65504.0, 65520.0,
+         2.0**-24, 2.0**-25, 1.5 * 2.0**-25, -(2.0**-14)],
+    ]).astype(np.float32)
+    out = np.empty(vals.size, np.uint16)
+    lib.f32_to_fp16(vals.ctypes.data_as(f32p), out.ctypes.data_as(u16p),
+                    vals.size)
+    with np.errstate(over="ignore"):
+        want16 = vals.astype(np.float16).view(np.uint16)
+    nan = np.isnan(vals)
+    assert (out[~nan] == want16[~nan]).all()
+    assert np.isnan(out[nan].view(np.float16)).all()
+
+
 def test_native_sm_scale():
     q, k, v = make_qkv(4, 1, 2, 2, 32, 32, 64)
     want = R.mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),

@@ -46,6 +46,7 @@ def _load():
     _lib.naive_attn_f32.argtypes = [f32p, f32p, f32p, f32p, f32p, pp]
     _lib.flash_attn_f32.argtypes = [f32p, f32p, f32p, f32p, f32p, pp]
     _lib.flash_attn_bf16.argtypes = [u16p, u16p, u16p, u16p, f32p, pp]
+    _lib.flash_attn_fp16.argtypes = [u16p, u16p, u16p, u16p, f32p, pp]
     _lib.simd_width.restype = ctypes.c_int
     return _lib
 
@@ -93,10 +94,7 @@ def flash_attn(q, k, v, *, causal=False, sm_scale=None, return_lse=False):
                     return_lse)
 
 
-def flash_attn_bf16(q, k, v, *, causal=False, sm_scale=None,
-                    return_lse=False):
-    """bf16 in/out with fp32 accumulation (ref archive attn.cpp:250-351)."""
-    lib = _load()
+def _run_u16(fn, q, k, v, causal, sm_scale, return_lse):
     qb = np.ascontiguousarray(q).view(np.uint16)
     kb = np.ascontiguousarray(k).view(np.uint16)
     vb = np.ascontiguousarray(v).view(np.uint16)
@@ -105,9 +103,23 @@ def flash_attn_bf16(q, k, v, *, causal=False, sm_scale=None,
     lse = np.empty(q.shape[:3], np.float32) if return_lse else None
     u16p = ctypes.POINTER(ctypes.c_uint16)
     f32p = ctypes.POINTER(ctypes.c_float)
-    lib.flash_attn_bf16(
-        qb.ctypes.data_as(u16p), kb.ctypes.data_as(u16p),
-        vb.ctypes.data_as(u16p), out.ctypes.data_as(u16p),
-        lse.ctypes.data_as(f32p) if return_lse else None, ctypes.byref(p))
+    fn(qb.ctypes.data_as(u16p), kb.ctypes.data_as(u16p),
+       vb.ctypes.data_as(u16p), out.ctypes.data_as(u16p),
+       lse.ctypes.data_as(f32p) if return_lse else None, ctypes.byref(p))
     out = out.view(q.dtype)
     return (out, lse) if return_lse else out
+
+
+def flash_attn_bf16(q, k, v, *, causal=False, sm_scale=None,
+                    return_lse=False):
+    """bf16 in/out with fp32 accumulation (ref archive attn.cpp:250-351)."""
+    return _run_u16(_load().flash_attn_bf16, q, k, v, causal, sm_scale,
+                    return_lse)
+
+
+def flash_attn_fp16(q, k, v, *, causal=False, sm_scale=None,
+                    return_lse=False):
+    """fp16 in/out with fp32 accumulation (conversions: the archive's naive
+    fp16<->fp32 routines, archive utils.cpp:105-136, made bit-exact)."""
+    return _run_u16(_load().flash_attn_fp16, q, k, v, causal, sm_scale,
+                    return_lse)

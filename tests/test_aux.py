@@ -58,3 +58,14 @@ def test_trace_smoke(tmp_path):
     with trace(str(tmp_path)):
         jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
     assert any(tmp_path.iterdir()), "trace produced no files"
+
+
+def test_count_flops_matmul():
+    """XLA's cost model must report the analytic 2*M*N*K for a plain matmul
+    (the FlopCounterMode parity check, ref main_torch_only.py:292-302)."""
+    from tiny_flash_attention_tpu.utils.profiling import count_flops
+    a = jnp.zeros((128, 256), jnp.float32)
+    b = jnp.zeros((256, 64), jnp.float32)
+    got = count_flops(lambda a, b: a @ b, a, b)
+    assert got["flops"] == pytest.approx(2 * 128 * 256 * 64, rel=0.01)
+    assert got["bytes_accessed"] > 0

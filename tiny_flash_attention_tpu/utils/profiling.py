@@ -7,9 +7,12 @@ TPU-native equivalents here:
 
   * `trace(logdir)` — context manager around `jax.profiler` emitting an
     xplane trace viewable in TensorBoard/XProf (the -lineinfo/ncu analog).
+  * `count_flops(fn, *args)` — FLOPs/bytes of the compiled program from
+    XLA's own cost model (the FlopCounterMode analog: counted from the
+    program, not hand-derived).
   * `roofline(...)` — classifies a measured kernel run against the chip's
-    compute and memory roofs (the FlopCounterMode analog, extended with
-    bytes so it reports which wall the kernel is against).
+    compute and memory roofs, extended with bytes so it reports which wall
+    the kernel is against.
 
 Peak numbers default to TPU v5e (197 bf16 TFLOP/s, 819 GB/s HBM) and can be
 overridden per call for other chips.
@@ -34,6 +37,27 @@ def trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def count_flops(fn, *args, **kwargs) -> dict:
+    """FLOPs/bytes of `jit(fn)(*args)` per XLA's compiled cost analysis.
+
+    The reference hand-counts attention FLOPs with torch's FlopCounterMode
+    (main_torch_only.py:292-302); here the compiler itself is the counter,
+    so fusion and rematerialization are reflected. Returns
+    {'flops': float, 'bytes_accessed': float} (0.0 when the backend does
+    not report a field). Note: Pallas kernels are opaque to XLA's model —
+    for those, pass analytic FLOPs to `roofline` instead.
+    """
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    cost = compiled.cost_analysis() or {}
+    if isinstance(cost, list):  # older jax returns one dict per device
+        cost = cost[0] if cost else {}
+    return {
+        "flops": float(cost.get("flops", 0.0)),
+        "bytes_accessed": float(cost.get("bytes accessed",
+                                         cost.get("bytes_accessed", 0.0))),
+    }
 
 
 @dataclasses.dataclass(frozen=True)

@@ -5,8 +5,15 @@ the on-chip counterpart — the analog of the reference's standalone harnesses
 asserting all_close on device (cuda standalone :396, cutlass standalone
 :1023). Run with no args on the TPU host: prints one PASS/FAIL line per
 surface and exits nonzero on any failure.
+
+Stress mode (--epochs N): the analog of the reference's 1000-epoch
+whole-test rerun (cuda v2 standalone :410-418) — every surface re-runs N
+times with fresh RNG (compiles are cached after epoch 0, so epochs are
+execution-only) and the per-surface error drift across epochs is reported;
+NaNs or drift past the gate fail the run.
 """
 
+import argparse
 import math
 import pathlib
 import sys
@@ -23,6 +30,8 @@ from tiny_flash_attention_tpu.ops.flash_quant import flash_attention_quantized
 from tiny_flash_attention_tpu.ops.quant import quantize_kv
 
 FAILED = []
+ERRS = {}           # name -> [err per epoch]
+QUIET = False
 
 
 def check(name, got, want, atol, relative=False):
@@ -31,9 +40,11 @@ def check(name, got, want, atol, relative=False):
     want = np.asarray(want, np.float32)
     err = float(np.max(np.abs(np.asarray(got, np.float32) - want)))
     bound = atol * float(np.max(np.abs(want))) if relative else atol
-    ok = err <= bound
-    print(f"{'PASS' if ok else 'FAIL'} {name}: maxerr {err:.2e} "
-          f"(bound {bound:.0e})", flush=True)
+    ok = err <= bound and np.isfinite(err)
+    ERRS.setdefault(name, []).append(err)
+    if not QUIET or not ok:
+        print(f"{'PASS' if ok else 'FAIL'} {name}: maxerr {err:.2e} "
+              f"(bound {bound:.0e})", flush=True)
     if not ok:
         FAILED.append(name)
 
@@ -80,17 +91,16 @@ def oracle(q, k, v, *, causal=False, window=None, segment_ids=None):
         return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-def main():
-    print("devices:", jax.devices(), flush=True)
+def main(seed0=0):
 
     # headline shape: bf16 GQA causal (BASELINE config 1)
-    q, k, v = qkv(0, 2, 8, 2, 2048, 2048, 128, jnp.bfloat16)
+    q, k, v = qkv(seed0, 2, 8, 2, 2048, 2048, 128, jnp.bfloat16)
     check("bf16 gqa causal s2048 d128",
           flash_attention(q, k, v, causal=True), oracle(q, k, v, causal=True),
           2e-2)
 
     # decode shape (q_len != kv_len), non-causal segments-free
-    qd, kd, vd = qkv(1, 1, 8, 2, 128, 2048, 128, jnp.bfloat16)
+    qd, kd, vd = qkv(seed0 + 1, 1, 8, 2, 128, 2048, 128, jnp.bfloat16)
     check("bf16 decode-shape causal",
           flash_attention(qd, kd, vd, causal=True),
           oracle(qd, kd, vd, causal=True), 2e-2)
@@ -107,20 +117,18 @@ def main():
           oracle(q, k, v, causal=True, segment_ids=(seg, seg)), 2e-2)
 
     # fp32 path (tighter gate, ref helper.h:3-11 class)
-    qf, kf, vf = qkv(2, 1, 4, 4, 1024, 1024, 128, jnp.float32)
+    qf, kf, vf = qkv(seed0 + 2, 1, 4, 4, 1024, 1024, 128, jnp.float32)
     check("fp32 causal s1024",
           flash_attention(qf, kf, vf, causal=True),
           oracle(qf, kf, vf, causal=True), 2e-4)
 
-    # fp16 surface. TPU computes fp16 as bf16 (documented in ops/flash.py),
-    # so vs an fp32 oracle the error is bf16-class (~1.1e-2 here, same as
-    # the bf16 row above); the reference's atol=1e-2 fp16 gate compares two
-    # fp16 implementations (cutlass/test.py:19-27 oracle is itself fp16),
-    # which is a looser measurement. Gate at 2e-2 vs fp32.
+    # fp16 surface: promoted to fp32 compute (ops/flash.py), so it clears
+    # the reference's atol=1e-2 fp16 gate (flash_attention_py/main.py:95-99)
+    # vs the fp32 oracle — the residual is fp16 input/output rounding only.
     qh, kh, vh = (x.astype(jnp.float16) for x in (qf, kf, vf))
-    check("fp16 causal s1024 (bf16 compute)",
+    check("fp16 causal s1024 (fp32 compute)",
           flash_attention(qh, kh, vh, causal=True),
-          oracle(qh, kh, vh, causal=True), 2e-2)
+          oracle(qh, kh, vh, causal=True), 1e-2)
 
     # int8 + fp8 quantized KV: compare against the oracle run on the
     # DEQUANTIZED cache so the gate measures kernel error, not quantization
@@ -143,11 +151,23 @@ def main():
     for name, a, b in zip(("dq", "dk", "dv"), g_k, g_o):
         check(f"bwd {name}", a, b, 3e-2, relative=True)
 
-    if FAILED:
-        print("FAILED:", ", ".join(FAILED))
-        sys.exit(1)
-    print("all hardware checks passed")
-
-
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=1,
+                    help="stress reruns of the whole sweep with fresh RNG")
+    args = ap.parse_args()
+    print("devices:", jax.devices(), flush=True)
+    for epoch in range(args.epochs):
+        QUIET = epoch > 0
+        main(seed0=epoch * 100)
+        if args.epochs > 1:
+            print(f"stress epoch {epoch} done", flush=True)
+    if args.epochs > 1:
+        print("error drift across epochs (max-min | gate-relative):")
+        for name, errs in ERRS.items():
+            print(f"  {name}: min {min(errs):.2e} max {max(errs):.2e} "
+                  f"spread {max(errs) - min(errs):.2e}")
+    if FAILED:
+        print("FAILED:", ", ".join(sorted(set(FAILED))))
+        sys.exit(1)
+    print(f"all hardware checks passed ({args.epochs} epoch(s))")

@@ -101,8 +101,9 @@ def test_fwd_single_row_decode():
 
 
 def test_fp16_surface():
-    """fp16 inputs compute in bf16 (Mosaic has no f16) and return fp16,
-    within the reference's fp16 tolerance (atol 1e-2)."""
+    """fp16 inputs promote to fp32 compute (Mosaic has no f16 vector type)
+    and return fp16, inside the reference's fp16 gate (atol 1e-2,
+    flash_attention_py/main.py:95-99) vs the fp32 oracle."""
     kq, kk, kv = jax.random.split(jax.random.key(11), 3)
     q = jax.random.normal(kq, (1, 4, 1024, 128), jnp.float16)
     k = jax.random.normal(kk, (1, 2, 1024, 128), jnp.float16)
@@ -113,7 +114,7 @@ def test_fp16_surface():
                            v.astype(jnp.float32), causal=True)
     import numpy as np
     np.testing.assert_allclose(np.asarray(got, np.float32),
-                               np.asarray(want), rtol=0, atol=2e-2)
+                               np.asarray(want), rtol=0, atol=1e-2)
 
 
 def test_extreme_logits_no_nan():

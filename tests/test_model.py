@@ -123,6 +123,32 @@ def test_chunked_steps_match_per_token_steps():
     assert run(False) == run(True)
 
 
+def test_chunked_overrun_at_table_capacity():
+    """A request whose prompt+max_new_tokens exactly fills its page_table
+    row must survive chunked decode alongside a longer request (regression:
+    steps() grew the full slot past the table width and crashed the loop;
+    the grow target is now clamped to capacity and overrun rows wrap onto
+    the finished slot's own pages)."""
+    params = make_params()
+    rng = np.random.default_rng(13)
+    long_prompt = list(rng.integers(0, 256, size=250))
+    short_prompt = list(rng.integers(0, 256, size=10))
+    eng = InferenceEngine(CFG, params, num_pages=8, page_size=128,
+                          max_seqs=2, pages_per_seq=2)  # cap = 256 tokens
+    ra = Request(long_prompt, max_new_tokens=6)    # 250 + 6 == capacity
+    rb = Request(short_prompt, max_new_tokens=40)
+    eng.add_requests([ra, rb])
+    for _ in range(4):
+        eng.steps(32)      # chunk overruns ra's capacity by 26 tokens
+        eng.collect_finished()
+        if ra.done and rb.done:
+            break
+    assert len(ra.generated) == 6 and len(rb.generated) == 40
+    for p, req in ((long_prompt, ra), (short_prompt, rb)):
+        logits = T.forward(CFG, params, jnp.asarray([p], jnp.int32))
+        assert req.generated[0] == int(jnp.argmax(logits[0, len(p) - 1]))
+
+
 def test_batched_admission_distinct_slots():
     """add_requests admits several prompts in one prefill and each gets its
     own slot with the right first greedy token."""

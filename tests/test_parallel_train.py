@@ -106,3 +106,33 @@ def test_hybrid_mesh_single_slice_and_sharded_step():
 
     x = jnp.arange(8.0)
     assert float(total(x)) == float(jnp.sum(x))
+
+
+def test_hybrid_mesh_multi_slice_device_array():
+    """The multi-slice branch must produce [num_slices, *ici_shape] so it
+    matches the (dcn_axis, *ici_axes) names (regression: the ici/dcn shapes
+    were passed un-aligned and the result dropped the DCN axis)."""
+    from tiny_flash_attention_tpu.parallel.multihost import (
+        _hybrid_device_array)
+
+    class FakeDev:
+        platform = "cpu"
+        device_kind = "fake"
+
+        def __init__(self, i, slice_index):
+            self.id = i
+            self.process_index = slice_index
+            self.slice_index = slice_index
+
+        def __repr__(self):
+            return f"fake({self.id})"
+
+    devices = [FakeDev(i, slice_index=i // 4) for i in range(8)]
+    arr = _hybrid_device_array(devices, ici_shape=[2, 2], num_slices=2)
+    assert arr.shape == (2, 2, 2), arr.shape
+    # every ICI block holds exactly one slice's devices
+    for s in range(2):
+        assert {d.slice_index for d in arr[s].flat} == {s}
+    # single-slice fallback keeps the leading DCN axis of size 1
+    arr1 = _hybrid_device_array(devices, ici_shape=[8], num_slices=1)
+    assert arr1.shape == (1, 8)

@@ -159,9 +159,16 @@ class InferenceEngine:
         if not active or n <= 0:
             return {}
         if self.cfg.attn_window is None:
+            # clamp to table capacity: a request whose prompt+max_new_tokens
+            # already fills its page_table row must not be grown past the
+            # table width by chunked-decode overrun — the device write wraps
+            # positions modulo the table width (inference.py decode write),
+            # so overrun rows of finished requests land back on the slot's
+            # own pages (garbage on a done request, never a live neighbour)
+            cap = self.cache.pages_per_seq * self.page_size
             for slot in active:
-                self.cache.grow_slot(slot,
-                                     int(self.cache.lengths[slot]) + n)
+                self.cache.grow_slot(
+                    slot, min(int(self.cache.lengths[slot]) + n, cap))
 
         lengths = self.cache.lengths.copy()
         positions = jnp.asarray(np.where(lengths > 0, lengths, 0), jnp.int32)
@@ -228,7 +235,13 @@ class InferenceEngine:
             if not rem:
                 self.collect_finished()
                 continue
-            n = max(1, min(chunk, max(rem)))
+            # chunk sizing: max(rem) keeps long requests on the fast path at
+            # the cost of overrun pages for short ones (freed by free_slot
+            # via alloc_counts — the overhead is transient). When remaining
+            # lengths have mostly converged, min(rem) avoids overrun decode
+            # steps entirely without stranding the long tail at chunk=1.
+            lo, hi = min(rem), max(rem)
+            n = max(1, min(chunk, lo if lo * 2 >= hi else hi))
             if n == 1:
                 self.step()
             else:

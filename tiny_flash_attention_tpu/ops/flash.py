@@ -56,6 +56,26 @@ _LN2 = math.log(2.0)
 _FIRST, _LAST, _MASKED = 1, 2, 4
 
 
+def _payload_to_compute(x, dtype):
+    """Converts a (possibly quantized) K/V payload tile to the compute dtype.
+
+    fp8-e4m3 -> bf16 is rebuilt with integer bit surgery (sign<<8, mantissa
+    <<4, exponent rebias +120) instead of the generic float convert, which
+    lowers much wider on the VPU. Zero is special-cased exactly; fp8
+    denormals land slightly high (< 2^-6 * 40%), far below the fp8
+    quantization noise itself. Other payloads use the native convert.
+    """
+    if x.dtype == dtype:
+        return x
+    if x.dtype == jnp.float8_e4m3fn and dtype == jnp.bfloat16:
+        u = pltpu.bitcast(x, jnp.int8).astype(jnp.int32)
+        sign = (u & 0x80) << 8
+        mag = u & 0x7F
+        bits = jnp.where(mag == 0, sign, sign | ((mag << 4) + (120 << 7)))
+        return pltpu.bitcast(bits.astype(jnp.int16), jnp.bfloat16)
+    return x.astype(dtype)
+
+
 def _build_worklist(n_q: int, n_kv: int, block_q: int, block_kv: int,
                     q_len: int, kv_len: int, causal: bool,
                     window=None):
@@ -126,14 +146,23 @@ def _fwd_kernel(
     kv_splits: int,
     with_segments: bool,
     window,
+    quantized: bool = False,
 ):
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    del refs[:3]
+    kscale_ref = vscale_ref = None
+    if quantized:
+        kscale_ref, vscale_ref = refs[:2]
+        del refs[:2]
+    qseg_ref = kvseg_ref = None
     if with_segments:
-        (q_ref, k_ref, v_ref, qseg_ref, kvseg_ref,
-         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
-    else:
-        (q_ref, k_ref, v_ref,
-         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
-        qseg_ref = kvseg_ref = None
+        qseg_ref, kvseg_ref = refs[:2]
+        del refs[:2]
+    o_ref, lse_ref, *scr = refs
+    m_scr, l_scr, acc_scr = scr[:3]
+    diff_scr = scr[3] if len(scr) > 3 else None
+    rmod_scr = scr[4] if len(scr) > 4 else None
     t = pl.program_id(2)
     qi = qi_ref[t]
     kvi = kvi_ref[t]
@@ -146,6 +175,27 @@ def _fwd_kernel(
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if diff_scr is not None:
+        # Mask geometry table, built once per (b, h) walk of the work list
+        # (t is the sequential grid dim): diff[r, c] = c - (r % block_q) is
+        # invariant across work items AND across kv sub-tiles up to the
+        # scalar shift si*sub — so one sub-tile-wide table serves every
+        # sub-tile, and the hot path's mask shrinks to a compare-vs-scalar
+        # + select instead of rebuilding iota/mod/sub tiles each time
+        # (~halves the measured mask cost at ~1/kv_splits the VMEM a
+        # full-width table would cost). Thresholds fold to per-item
+        # scalars: valid iff diff <= qi*block_q + offset - kvi*block_kv
+        # - si*sub.
+        @pl.when(t == 0)
+        def _mask_tables():
+            ci = jax.lax.broadcasted_iota(jnp.int32, diff_scr.shape, 1)
+            r = jax.lax.broadcasted_iota(jnp.int32, diff_scr.shape, 0)
+            diff_scr[...] = ci - (r % block_q)
+            if rmod_scr is not None:
+                rr = jax.lax.broadcasted_iota(
+                    jnp.int32, rmod_scr.shape, 0)
+                rmod_scr[...] = rr % block_q
 
     precision = (jax.lax.Precision.HIGHEST
                  if q_ref.dtype == jnp.float32 else None)
@@ -171,10 +221,19 @@ def _fwd_kernel(
     # parallel instead of strictly alternating (the stock kernel's
     # block_k vs block_k_major split, flash_attention.py pl.loop unroll).
     for si in range(kv_splits):
-        k = k_full[si * sub:(si + 1) * sub]
+        # Quantized payloads (int8 / fp8-e4m3 with per-token-row scales)
+        # dequant around the matmuls: the payload converts to the compute
+        # dtype per sub-tile on the VPU (overlapping the previous sub-tile's
+        # softmax), and the scales fold as LINEAR factors — s *= kscale
+        # commutes with the log2-domain exp trick, p *= vscale rides the
+        # existing p pass (analog of the reference archive's per-thread
+        # cast buffers, archive attn.cpp:250-351).
+        k = _payload_to_compute(k_full[si * sub:(si + 1) * sub], q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
+        if quantized:
+            s *= kscale_ref[0, 0, :, si * sub:(si + 1) * sub]   # (1, sub)
 
         # Static mask specialization: a run-time branch (lax.cond) stalls
         # the Mosaic pipeline (~30% measured), and per-tile predication
@@ -186,21 +245,20 @@ def _fwd_kernel(
             col0 = kvi * block_kv + si * sub
             valid = None
             if causal:
-                # folded row r sits at sequence position qi*block_q + (r %
-                # block_q); block_q is a power of two so the mod is a
-                # bitwise and, and all scalar terms fold into one VPU
-                # compare-vs-scalar
-                ci = jax.lax.broadcasted_iota(jnp.int32, (rows, sub), 1)
-                r = jax.lax.broadcasted_iota(jnp.int32, (rows, sub), 0)
-                diff = ci - (r % block_q)
+                # diff[r, c] = (sub-tile col) - (row position within head),
+                # precomputed in scratch; the si*sub column shift folds
+                # into the per-item scalar threshold
+                diff = diff_scr[...]
                 valid = diff <= (qi * block_q + offset - col0)
                 if window is not None:
                     # sliding window: col >= pos - window + 1
-                    valid &= diff >= (
-                        qi * block_q + offset - window + 1 - col0)
+                    valid &= diff >= (qi * block_q + offset - window + 1
+                                      - col0)
             if kv_padded:
-                col_ok = col0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (rows, sub), 1) < kv_len
+                # global col = diff + (r % block_q) + col0 < kv_len
+                col_ok = (diff_scr[...]
+                          + jnp.tile(rmod_scr[...], (1, sub // LANES))
+                          < kv_len - col0)
                 valid = col_ok if valid is None else valid & col_ok
             if with_segments:
                 # packed sequences: token pairs attend only within their
@@ -238,7 +296,9 @@ def _fwd_kernel(
         m_scr[...] = m_next
         l_scr[...] = l_next
 
-        v = v_full[si * sub:(si + 1) * sub]
+        v = _payload_to_compute(v_full[si * sub:(si + 1) * sub], q.dtype)
+        if quantized:
+            p = p * vscale_ref[0, 0, :, si * sub:(si + 1) * sub]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
@@ -257,11 +317,16 @@ def _fwd_kernel(
 
 
 def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
-                    window=None):
-    """Runs the forward pallas_call; returns (out, lse)."""
+                    window=None, k_scales=None, v_scales=None):
+    """Runs the forward pallas_call; returns (out, lse).
+
+    k/v may be quantized payloads (int8 / float8_e4m3fn) when k_scales /
+    v_scales (b, hkv, kv_len, 1) are given; dequant is fused in-kernel.
+    """
     bs, hq, q_len, d = q.shape
     _, hkv, kv_len, dk = k.shape
     assert dk == d and v.shape == k.shape, (q.shape, k.shape, v.shape)
+    quantized = k_scales is not None
     group = hq // hkv
     # Keep the folded q tile (group*block_q rows) near the configured size.
     block_q = max(LANES, _round_up(config.block_q // group, LANES))
@@ -291,7 +356,8 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
         _fwd_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_kv=block_kv, group=group, q_len=q_len, kv_len=kv_len,
         any_masked=any_masked, kv_padded=kv_pad != kv_len,
-        kv_splits=kv_splits, with_segments=with_segments, window=window)
+        kv_splits=kv_splits, with_segments=with_segments, window=window,
+        quantized=quantized)
 
     flops_mask = 0.5 if causal else 1.0
     cost = pl.CostEstimate(
@@ -311,6 +377,19 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
                      lambda b, h, t, qi, kvi, fl: (b, h, kvi[t], 0)),
     ]
     operands = [q, k, v]
+    if quantized:
+        # per-token-row dequant scales, pre-transposed to (b, hkv, 1, s_pad)
+        # so their tiles are lane-oriented and the column-wise multiplies
+        # need no relayout
+        ks = _pad_lane(jnp.swapaxes(k_scales, 2, 3), kv_pad)
+        vs = _pad_lane(jnp.swapaxes(v_scales, 2, 3), kv_pad)
+        operands += [ks, vs]
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, block_kv),
+                         lambda b, h, t, qi, kvi, fl: (b, h, 0, kvi[t])),
+            pl.BlockSpec((1, 1, 1, block_kv),
+                         lambda b, h, t, qi, kvi, fl: (b, h, 0, kvi[t])),
+        ]
     if with_segments:
         qseg, kvseg = segment_ids
         assert qseg.shape == (bs, q_len) and kvseg.shape == (bs, kv_len), (
@@ -345,13 +424,21 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
             pltpu.VMEM((rows, LANES), jnp.float32),   # running max m
             pltpu.VMEM((rows, LANES), jnp.float32),   # running sum l
             pltpu.VMEM((rows, d_pad), jnp.float32),   # output accumulator
-        ],
+        ] + ([pltpu.VMEM((rows, block_kv // kv_splits), jnp.int32)]
+             # sub-tile-wide mask diff table
+             if any_masked and (causal or kv_pad != kv_len) else [])
+          + ([pltpu.VMEM((rows, LANES), jnp.int32)]      # r % block_q
+             if any_masked and kv_pad != kv_len else []),
     )
 
-    compiler_params = None
+    # The default scoped-vmem budget is 16 MiB; the mask table plus large
+    # folded q tiles can exceed it (v5e has 128 MiB physical VMEM), so
+    # raise the cap for this kernel only.
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
     if config.use_dimension_semantics:
         compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"))
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 2**20)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -450,13 +537,17 @@ def flash_attention(
         assert window >= 1, window
         window = int(window)
     if q.dtype == jnp.float16:
-        # Mosaic has no f16 vector type; bf16 is the TPU half-precision.
-        # Compute in bf16 (same width, fp32 accumulation as always) and
-        # return f16 — parity with the reference's fp16 surface within its
-        # own atol=1e-2 gate (SURVEY.md section 4).
+        # Mosaic has no f16 vector type; bf16 compute (round 1) measured
+        # 1.35e-2 vs the fp32 oracle — over the reference's 1e-2 fp16 gate
+        # (flash_attention_py/main.py:95-99). fp16 inputs therefore promote
+        # to fp32 compute (fp32 tiles, HIGHEST-precision matmuls) so the
+        # fp16 surface clears the gate honestly: the only residual error is
+        # the fp16 input/output rounding itself (~6e-4 measured on chip).
+        # Callers who want half-precision THROUGHPUT should pass bf16 —
+        # that is the TPU-native half type.
         out = flash_attention(
-            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-            v.astype(jnp.bfloat16), causal=causal, sm_scale=sm_scale,
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), causal=causal, sm_scale=sm_scale,
             segment_ids=segment_ids, window=window, config=config,
             return_lse=return_lse)
         if return_lse:
@@ -539,6 +630,14 @@ def _pad_rows(x: jax.Array, to: int):
     if x.shape[-1] == to:
         return x
     return jnp.pad(x, ((0, 0), (0, to - x.shape[-1])), constant_values=-1)
+
+
+def _pad_lane(x: jax.Array, s_to: int):
+    """Pads the last (lane) axis of (b, h, 1, s) scales to s_to."""
+    ps = s_to - x.shape[3]
+    if ps == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, ps)))
 
 
 def _pad4(x: jax.Array, s_to: int, d_to: int):

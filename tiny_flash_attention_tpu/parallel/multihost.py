@@ -81,18 +81,30 @@ def make_hybrid_mesh(
     assert int(np.prod(ici_shape)) == per_slice, (ici_shape, per_slice)
     assert len(ici_shape) == len(ici_axes), (ici_axes, ici_shape)
 
-    if num_slices > 1:
-        from jax.experimental import mesh_utils
-        arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=ici_shape,
-            dcn_mesh_shape=[num_slices] + [1] * (len(ici_shape) - 1),
-            devices=devices,
-        )
-    else:
-        arr = np.asarray(devices).reshape([1] + ici_shape)
+    arr = _hybrid_device_array(devices, ici_shape, num_slices)
     names = (dcn_axis,) + tuple(ici_axes)
     if axis_order is not None:
         perm = [names.index(a) for a in axis_order]
         arr = arr.transpose(perm)
         names = tuple(axis_order)
     return Mesh(arr, names)
+
+
+def _hybrid_device_array(devices, ici_shape, num_slices: int):
+    """Device array of shape [num_slices, *ici_shape].
+
+    The leading axis walks DCN (slices); the rest walk ICI within a slice.
+    create_hybrid_device_mesh wants mesh_shape and dcn_mesh_shape of EQUAL
+    rank whose elementwise product is the result shape, so the ICI shape is
+    passed with a leading 1 and the DCN shape as [num_slices, 1, ...] —
+    giving [num_slices] + ici_shape, matching the (dcn_axis, *ici_axes)
+    mesh names.
+    """
+    if num_slices > 1:
+        from jax.experimental import mesh_utils
+        return mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=[1] + list(ici_shape),
+            dcn_mesh_shape=[num_slices] + [1] * len(ici_shape),
+            devices=devices,
+        )
+    return np.asarray(devices).reshape([1] + list(ici_shape))

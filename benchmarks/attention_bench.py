@@ -63,6 +63,48 @@ def bench_fwd(name, bs, hq, hkv, s_len, d, dtype, causal):
          rn["min_ms"] / r["min_ms"])
 
 
+def naive_3stage(q, k, v, causal):
+    """The reference's 3-kernel naive baseline (self_attention.cu:22-81
+    launches gemm / softmax / gemm as separate kernels with device syncs).
+    On TPU, optimization barriers force the same staging: scores and
+    probabilities materialize instead of fusing into one kernel."""
+    group = q.shape[1] // k.shape[1]
+    k = jnp.repeat(k, group, axis=1)
+    v = jnp.repeat(v, group, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / np.sqrt(q.shape[-1])
+    if causal:
+        mask = jnp.tril(jnp.ones((q.shape[2], k.shape[2]), bool))
+        s = jnp.where(mask, s, -1e30)
+    s = jax.lax.optimization_barrier(s)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    p = jax.lax.optimization_barrier(p)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def bench_cfg0():
+    """Config 0 (fp32 s128 d64 single-head) is ROUTED: below ~512x512 the
+    dispatch table sends shapes to the fused-XLA path, which measured
+    faster than any Pallas grid there (BASELINE.md config-0 note). The
+    meaningful comparisons at this scale are (a) the routed path vs the
+    reference-style 3-stage naive and (b) the reference's own batched-tiny
+    geometry (BS=1000, SEQLEN=64 — cuda/self_attention.py:29)."""
+    for name, bs, s_len, d in (("cfg0_fp32_s128_d64", 1, 128, 64),
+                               ("cfg0_batched_bs1000_s64_d64", 1000, 64, 64)):
+        kq, kk, kv = jax.random.split(jax.random.key(0), 3)
+        q = jax.random.normal(kq, (bs, 1, s_len, d), jnp.float32)
+        k = jax.random.normal(kk, (bs, 1, s_len, d), jnp.float32)
+        v = jax.random.normal(kv, (bs, 1, s_len, d), jnp.float32)
+        f = jax.jit(functools.partial(flash_attention, causal=False))
+        r = run_benchmark(f, q, k, v, rounds=5)
+        rn = run_benchmark(jax.jit(functools.partial(naive_3stage,
+                                                     causal=False)),
+                           q, k, v, rounds=5)
+        fl = attention_flops(bs, 1, s_len, s_len, d, False)
+        emit(f"{name}_tflops", fl / (r["min_ms"] / 1e3) / 1e12, "TFLOPs/s",
+             rn["min_ms"] / r["min_ms"])
+
+
 def bench_fp8_prefill():
     # config 3: FP8 QK/PV fused dequant, chunked prefill s=32k (chunks of 4k
     # q rows against the full 32k KV — decode-shaped causal offsets)
@@ -107,9 +149,9 @@ def bench_paged_decode(fmt):
 
 
 def main():
-    # config 0: fp32 single-head (reference tiny_flash_attn shape)
-    bench_fwd("cfg0_fp32_s128_d64_tflops", 1, 1, 1, 128, 64, jnp.float32,
-              False)
+    # config 0: fp32 single-head (reference tiny_flash_attn shape), routed
+    # to the fused-XLA path + the reference's batched-tiny cuda geometry
+    bench_cfg0()
     # config 1 (headline): bf16 GQA causal s2048 d128
     bench_fwd("cfg1_bf16_gqa_causal_s2048_d128_tflops", 2, 8, 2, 2048, 128,
               jnp.bfloat16, True)

@@ -54,11 +54,13 @@ def main():
     v = jax.random.normal(kv, (BS, HKV, seq, DIM), jnp.bfloat16)
 
     variants = [
-        (2048, 512, 2),   # round-1 dispatch entry (baseline)
-        (2048, 512, 4),
         (2048, 512, 1),
-        (1024, 512, 2),
-        (2048, 256, 2),
+        (2048, 512, 2),   # round-1 dispatch entry (baseline)
+        (2048, 256, 1),
+        (4096, 512, 1),
+        (4096, 512, 2),
+        (8192, 512, 2),
+        (4096, 1024, 2),
     ]
 
     fl_c = attention_flops(BS, HQ, seq, seq, DIM, causal=True)

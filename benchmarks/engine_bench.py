@@ -63,9 +63,99 @@ def bench_engine(kv_format: str, *, batch=8, prompt_len=512,
         "unit": "tokens/s",
         "vs_baseline": round((n_tokens / dt) / (batch / dt_step), 3),
     }))
+    return n_tokens / dt
+
+
+def bench_stock_dense(*, batch=8, prompt_len=512, decode_steps=256):
+    """External yardstick: a stock-JAX dense-cache decode loop at the SAME
+    model config — what a user would write without this framework: a
+    (layers, B, hkv, max_len, d) cache updated with dynamic_update_slice,
+    full-width masked einsum attention, greedy sampling, chunked in one
+    lax.scan dispatch (so the comparison isolates the cache/attention
+    design, not dispatch counts)."""
+    from tiny_flash_attention_tpu.models.inference import (
+        prefill_forward_batched)
+
+    cfg = T.ModelConfig(
+        vocab_size=32768, d_model=1024, n_layers=4, n_q_heads=8,
+        n_kv_heads=2, d_head=128, d_ff=4096, dtype=jnp.bfloat16)
+    params = T.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size,
+                                    (batch, prompt_len)), jnp.int32)
+    S_max = prompt_len + decode_steps + 128
+    logits, ks, vs = prefill_forward_batched(cfg, params, toks)
+    L = cfg.n_layers
+    cache_k = jnp.zeros((L, batch, cfg.n_kv_heads, S_max, cfg.d_head),
+                        cfg.dtype).at[:, :, :, :prompt_len].set(ks)
+    cache_v = jnp.zeros_like(cache_k).at[:, :, :, :prompt_len].set(vs)
+    tok0 = jnp.argmax(logits[:, prompt_len - 1], -1).astype(jnp.int32)
+
+    def attn(q, ck, cv, pos):
+        # q (B, hq, 1, d); ck/cv (B, hkv, S, d); valid cols <= pos
+        group = cfg.n_q_heads // cfg.n_kv_heads
+        kk = jnp.repeat(ck, group, axis=1)
+        vv = jnp.repeat(cv, group, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kk,
+                       preferred_element_type=jnp.float32)
+        s = s / np.sqrt(cfg.d_head)
+        valid = jnp.arange(S_max)[None, None, None, :] <= pos
+        s = jnp.where(valid, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, vv)
+
+    def chunk(cache_k, cache_v, tokens, pos, n):
+        def body(carry, _):
+            ck, cv, tok, pos = carry
+            x = params["embed"][tok][:, None, :].astype(cfg.dtype)
+            for li in range(L):
+                layer = jax.tree_util.tree_map(lambda a: a[li],
+                                               params["layers"])
+                q, k, v = T.qkv_proj(cfg, layer, x, pos[None, None])
+                ck = ck.at[li, :, :, pos].set(k[:, :, 0])
+                cv = cv.at[li, :, :, pos].set(v[:, :, 0])
+                o = attn(q, ck[li], cv[li], pos)
+                o = o.reshape(batch, 1, cfg.n_q_heads * cfg.d_head).astype(
+                    cfg.dtype)
+                x = x + T._proj(o, layer["wo"])
+                x = T.mlp_block(cfg, layer, x)
+            x = T.rms_norm(x, params["final_norm"], cfg.rms_eps)
+            logits = T._proj(x[:, 0], params["lm_head"])
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (ck, cv, tok, pos + 1), tok
+
+        (ck, cv, tok, pos), out = jax.lax.scan(
+            body, (cache_k, cache_v, tokens, pos), None, length=n)
+        return ck, cv, tok, pos, out
+
+    step = jax.jit(chunk, static_argnums=(4,), donate_argnums=(0, 1))
+    n = 128
+    cache_k, cache_v, tok, pos, out = step(
+        cache_k, cache_v, tok0, jnp.int32(prompt_len), n)   # warmup
+    np.asarray(out[-1])
+    t0 = time.perf_counter()
+    n_tok = 0
+    for _ in range(decode_steps // n):
+        cache_k, cache_v, tok, pos, out = step(cache_k, cache_v, tok, pos, n)
+        n_tok += out.size
+    np.asarray(out[-1])
+    dt = time.perf_counter() - t0
+    rate = n_tok / dt
+    print(json.dumps({
+        "metric": f"stock_dense_decode_b{batch}_tokens_per_s",
+        "value": round(rate, 1),
+        "unit": "tokens/s",
+    }))
+    return rate
 
 
 if __name__ == "__main__":
-    bench_engine("bf16")
+    stock = bench_stock_dense()
+    bf16 = bench_engine("bf16")
     bench_engine("int8")
     bench_engine("int8", weight_format="int8")
+    print(json.dumps({
+        "metric": "engine_bf16_vs_stock_dense_decode",
+        "value": round(bf16 / stock, 3),
+        "unit": "x",
+    }))

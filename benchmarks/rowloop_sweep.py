@@ -37,27 +37,36 @@ def main():
                               - np.asarray(ref, np.float32))))
     print(f"rowloop-vs-flagship maxerr: {err:.2e}", flush=True)
 
-    for bq, chunk, unroll in [(2048, 256, 2), (2048, 512, 2),
-                              (2048, 512, 4), (2048, 256, 1),
-                              (4096, 512, 2), (1024, 256, 2)]:
+    import sys
+    phase = sys.argv[1] if len(sys.argv) > 1 else "all"
+    variants = []
+    if phase in ("all", "causal"):
+        variants += [(bq, ch, u, sl, True) for bq, ch, u, sl in [
+            (2048, 512, 2, True), (2048, 256, 2, True),
+            (2048, 256, 1, True), (1024, 256, 1, True),
+            (1024, 256, 2, True), (1024, 128, 1, True),
+        ]]
+    if phase in ("all", "nc"):
+        variants += [(bq, ch, u, False, False) for bq, ch, u in [
+            (4096, 512, 2), (8192, 512, 2), (4096, 512, 4),
+            (8192, 1024, 4),
+        ]]
+    for bq, chunk, unroll, sloop, causal in variants:
         c = FlashConfig(block_q=bq, block_kv=512)
-        def fn(q, k, v, *, _c=c, _ch=chunk, _u=unroll, causal=True):
+        def fn(q, k, v, *, _c=c, _ch=chunk, _u=unroll, _s=sloop,
+               causal=causal):
             return flash_attention_rowloop(
                 q, k, v, causal=causal, config=_c, chunk=_ch, unroll=_u,
-                interpret=False)[0]
+                single_loop=_s, interpret=False)[0]
         try:
-            r = run_benchmark(jax.jit(functools.partial(fn)), q, k, v,
-                              rounds=4)
-            tfc = fl_c / (r["min_ms"] / 1e3) / 1e12
-            rn = run_benchmark(
-                jax.jit(functools.partial(fn, causal=False)), q, k, v,
-                rounds=4)
-            tfn = fl_n / (rn["min_ms"] / 1e3) / 1e12
-            print(f"rowloop bq{bq} chunk{chunk} u{unroll}: causal "
-                  f"{tfc:.1f} TF/s  noncausal {tfn:.1f}", flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"rowloop bq{bq} chunk{chunk} u{unroll}: FAILED {e}",
+            r = run_benchmark(jax.jit(fn), q, k, v, rounds=4)
+            tf = (fl_c if causal else fl_n) / (r["min_ms"] / 1e3) / 1e12
+            print(f"rowloop bq{bq} chunk{chunk} u{unroll} "
+                  f"single={sloop} causal={causal}: {tf:.1f} TF/s",
                   flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"rowloop bq{bq} chunk{chunk} u{unroll} single={sloop} "
+                  f"causal={causal}: FAILED {e}", flush=True)
 
 
 if __name__ == "__main__":

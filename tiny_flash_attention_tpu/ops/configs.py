@@ -51,9 +51,11 @@ class FlashConfig:
 _DISPATCH: dict[tuple[str, int], FlashConfig] = {
     # tuned on v5e with device-side chained timing (block_q is the FOLDED
     # row budget: the kernel divides it by the GQA group so the q tile stays
-    # ~block_q rows total). Tall q tiles + 256/512-wide kv tiles win: the kv
-    # width sets the causal triangle-quantization waste (~block_kv/seqlen)
-    # while the tall q block amortizes per-grid-step overhead.
+    # ~block_q rows total). For CAUSAL, tall-but-bounded q tiles + 512-wide
+    # kv tiles win: the q-block height sets the diagonal-triangle
+    # quantization waste (~block_q_per_head/seqlen) while the tall block
+    # amortizes per-grid-step overhead — the measured optimum of that
+    # product is 2048 folded rows (102 TF/s s2048 d128 GQA).
     ("bfloat16", 64): FlashConfig(block_q=2048, block_kv=256),
     ("bfloat16", 128): FlashConfig(block_q=2048, block_kv=512, kv_splits=2),
     ("bfloat16", 256): FlashConfig(block_q=1024, block_kv=256),
@@ -62,14 +64,30 @@ _DISPATCH: dict[tuple[str, int], FlashConfig] = {
     ("float32", 256): FlashConfig(block_q=256, block_kv=256),
 }
 
+# NON-causal has no triangle to quantize, so the row budget grows until
+# VMEM pushes back: folding the whole sequence into one grid step per
+# (batch, kv-head) measured 157.7 TF/s (8192 rows, 1024-wide kv in 4
+# sub-tiles) vs 138.6 at 2048 rows (v5e, s2048 d128 GQA) — per-step
+# overhead amortizes over 4x the rows. kv_splits=4 keeps the materialized
+# f32 score sub-tile at 8 MB; wider sub-tiles OOM VMEM at this row count.
+_DISPATCH_NONCAUSAL: dict[tuple[str, int], FlashConfig] = {
+    ("bfloat16", 64): FlashConfig(block_q=8192, block_kv=512, kv_splits=2),
+    ("bfloat16", 128): FlashConfig(block_q=8192, block_kv=1024, kv_splits=4),
+    ("bfloat16", 256): FlashConfig(block_q=4096, block_kv=256),
+    ("float32", 64): FlashConfig(block_q=2048, block_kv=512),
+    ("float32", 128): FlashConfig(block_q=2048, block_kv=512),
+    ("float32", 256): FlashConfig(block_q=1024, block_kv=256),
+}
+
 
 def default_config(dtype, head_dim: int, q_len: int, kv_len: int,
-                   interpret: bool = False) -> FlashConfig:
+                   interpret: bool = False,
+                   causal: bool = True) -> FlashConfig:
     """Pick a tile config for (dtype, head_dim), clamped to the problem size."""
     kind = jnp.dtype(dtype).name
     padded_d = max(_round_up(head_dim, LANES), LANES)
-    cfg = _DISPATCH.get((kind, padded_d),
-                        FlashConfig(block_q=128, block_kv=128))
+    table = _DISPATCH if causal else _DISPATCH_NONCAUSAL
+    cfg = table.get((kind, padded_d), FlashConfig(block_q=128, block_kv=128))
     block_q = min(cfg.block_q, _round_up(q_len, LANES))
     block_kv = min(cfg.block_kv, _round_up(kv_len, LANES))
     return dataclasses.replace(cfg, block_q=block_q, block_kv=block_kv,

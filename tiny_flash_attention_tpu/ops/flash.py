@@ -569,7 +569,8 @@ def flash_attention(
         # Interpret mode on non-TPU backends: the CPU-runnable "standalone"
         # equivalent (SURVEY.md section 4 implication).
         config = default_config(q.dtype, d, q_len, kv_len,
-                                interpret=jax.default_backend() != "tpu")
+                                interpret=jax.default_backend() != "tpu",
+                                causal=causal)
     if return_lse:
         return _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale,
                                config, window=window)

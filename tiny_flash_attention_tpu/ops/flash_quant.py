@@ -71,7 +71,8 @@ def flash_attention_quantized(
                        jnp.asarray(segment_ids[1]))
     if config is None:
         config = default_config(q.dtype, d, q_len, kv_len,
-                                interpret=jax.default_backend() != "tpu")
+                                interpret=jax.default_backend() != "tpu",
+                                causal=causal)
         if k.values.dtype == jnp.float8_e4m3fn and config.kv_splits > 1:
             # measured on v5e: sub-tiling helps int8 (+2.5%) but hurts fp8
             # (-3%) — the bit-surgery convert already fills the VPU slots

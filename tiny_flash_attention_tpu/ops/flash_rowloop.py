@@ -64,6 +64,7 @@ def _rowloop_kernel(
     q_len: int,
     kv_len: int,
     window,
+    single_loop: bool,
 ):
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     rows = group * block_q
@@ -95,12 +96,17 @@ def _rowloop_kernel(
     mid_lo = jnp.minimum(li, hi)
     mid_hi = jnp.clip(n_int, mid_lo, hi)
 
-    # --- mask geometry tables (once per row-block; negligible) ------------
-    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 1)
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 0)
-    diff_scr[...] = ci - (r % block_q)
-    rr = jax.lax.broadcasted_iota(jnp.int32, rmod_scr.shape, 0)
-    rmod_scr[...] = rr % block_q
+    # --- mask geometry tables (once per CORE: persist across grid steps;
+    # the q-row dim is 'arbitrary' so step (0,0,0) runs first) -------------
+    needs_mask = causal or window is not None or kv_len % chunk
+    if needs_mask:
+        @pl.when((b == 0) & (h == 0) & (qi == 0))
+        def _tables():
+            ci = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 1)
+            r = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 0)
+            diff_scr[...] = ci - (r % block_q)
+            rr = jax.lax.broadcasted_iota(jnp.int32, rmod_scr.shape, 0)
+            rmod_scr[...] = rr % block_q
 
     # --- per-row setup ----------------------------------------------------
     m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
@@ -194,9 +200,14 @@ def _rowloop_kernel(
         body(j, False)
         return carry
 
-    jax.lax.fori_loop(lo, mid_lo, masked_body, 0)
-    jax.lax.fori_loop(mid_lo, mid_hi, interior_body, 0)
-    jax.lax.fori_loop(mid_hi, hi, masked_body, 0)
+    if single_loop:
+        # one loop, every chunk masked: trades the interior chunks' mask
+        # ops for two fewer loop set-ups per row
+        jax.lax.fori_loop(lo, hi, masked_body, 0)
+    else:
+        jax.lax.fori_loop(lo, mid_lo, masked_body, 0)
+        jax.lax.fori_loop(mid_lo, mid_hi, interior_body, 0)
+        jax.lax.fori_loop(mid_hi, hi, masked_body, 0)
 
     l = l_scr[...]
     l_safe = jnp.where((l == 0.0) | jnp.isnan(l), 1.0, l)
@@ -217,6 +228,7 @@ def flash_attention_rowloop(
     config: Optional[FlashConfig] = None,
     chunk: int = 256,
     unroll: int = 2,
+    single_loop: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Row-loop forward; returns (out, lse). Same semantics as
@@ -254,7 +266,7 @@ def flash_attention_rowloop(
     kernel = functools.partial(
         _rowloop_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         chunk=chunk, unroll=unroll, group=group, q_len=q_len, kv_len=kv_len,
-        window=window)
+        window=window, single_loop=single_loop)
 
     flops_mask = 0.5 if causal else 1.0
     cost = pl.CostEstimate(
@@ -295,7 +307,7 @@ def flash_attention_rowloop(
             pltpu.VMEM((rows, LANES), jnp.int32),       # r % block_q
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=64 * 2**20),
         cost_estimate=cost,
         interpret=interpret,

@@ -23,7 +23,7 @@ from tiny_flash_attention_tpu.models.engine import InferenceEngine, Request
 
 
 def bench_engine(kv_format: str, *, batch=8, prompt_len=512,
-                 decode_steps=256, weight_format=None):
+                 decode_steps=256, weight_format=None, tag_extra=""):
     cfg = T.ModelConfig(
         vocab_size=32768, d_model=1024, n_layers=4, n_q_heads=8,
         n_kv_heads=2, d_head=128, d_ff=4096, dtype=jnp.bfloat16)
@@ -56,7 +56,8 @@ def bench_engine(kv_format: str, *, batch=8, prompt_len=512,
     jax.block_until_ready(eng.cache.pages[0])
     dt = time.perf_counter() - t0
 
-    tag = f"{kv_format}" + (f"_w{weight_format}" if weight_format else "")
+    tag = f"{kv_format}" + (f"_w{weight_format}" if weight_format else "") \
+        + tag_extra
     print(json.dumps({
         "metric": f"engine_decode_{tag}_b{batch}_tokens_per_s",
         "value": round(n_tokens / dt, 1),
@@ -66,7 +67,8 @@ def bench_engine(kv_format: str, *, batch=8, prompt_len=512,
     return n_tokens / dt
 
 
-def bench_stock_dense(*, batch=8, prompt_len=512, decode_steps=256):
+def bench_stock_dense(*, batch=8, prompt_len=512, decode_steps=256,
+                      tag_extra=""):
     """External yardstick: a stock-JAX dense-cache decode loop at the SAME
     model config — what a user would write without this framework: a
     (layers, B, hkv, max_len, d) cache updated with dynamic_update_slice,
@@ -142,7 +144,7 @@ def bench_stock_dense(*, batch=8, prompt_len=512, decode_steps=256):
     dt = time.perf_counter() - t0
     rate = n_tok / dt
     print(json.dumps({
-        "metric": f"stock_dense_decode_b{batch}_tokens_per_s",
+        "metric": f"stock_dense_decode_b{batch}{tag_extra}_tokens_per_s",
         "value": round(rate, 1),
         "unit": "tokens/s",
     }))
@@ -150,6 +152,11 @@ def bench_stock_dense(*, batch=8, prompt_len=512, decode_steps=256):
 
 
 if __name__ == "__main__":
+    # Short-context regime (prompt 512): a preallocated dense cache is the
+    # favorable design here — one fused attention read beats a page-table
+    # gather chain. Reported as-is; the paged engine's case is memory
+    # (pages shared across slots instead of batch x max_len preallocation),
+    # heterogeneous-length continuous batching, and long contexts below.
     stock = bench_stock_dense()
     bf16 = bench_engine("bf16")
     bench_engine("int8")
@@ -157,5 +164,17 @@ if __name__ == "__main__":
     print(json.dumps({
         "metric": "engine_bf16_vs_stock_dense_decode",
         "value": round(bf16 / stock, 3),
+        "unit": "x",
+    }))
+    # Long-context regime (prompt 3584): the dense baseline's full-width
+    # masked attention scales with max_len while the paged gather scales
+    # with actual length.
+    stock_l = bench_stock_dense(prompt_len=3584, decode_steps=128,
+                                tag_extra="_s3584")
+    bf16_l = bench_engine("bf16", prompt_len=3584, decode_steps=128,
+                          tag_extra="_s3584")
+    print(json.dumps({
+        "metric": "engine_bf16_vs_stock_dense_decode_s3584",
+        "value": round(bf16_l / stock_l, 3),
         "unit": "x",
     }))

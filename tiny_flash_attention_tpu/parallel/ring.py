@@ -2,7 +2,7 @@
 
 The reference's KV-streaming inner loop (cutlass flash_attention.cu:549-606)
 is the intra-chip analog of ring attention (SURVEY.md section 5 long-context
-row): here the same online-softmax block merge runs ACROSS chips. Three
+row): here the same online-softmax block merge runs ACROSS chips. Four
 sequence-sharding modes, all over a mesh 'ctx' axis:
 
   * ring_attention: K/V shards rotate around the ring via `ppermute` while
@@ -11,6 +11,10 @@ sequence-sharding modes, all over a mesh 'ctx' axis:
     Point-to-point ICI traffic, overlappable with compute. Causal handled
     per ring step: earlier-source blocks attend fully, the diagonal block
     causally, later blocks are skipped (lax.switch over three kernels).
+  * zigzag ring (make_zigzag_ring_attention): striped sequence placement
+    (chip i holds stripes i and 2n-1-i) so causal ring work is BALANCED —
+    every chip does ~2 stripe-units at every step by construction (see the
+    derivation at the zigzag section below and docs/online_softmax.md).
   * ulysses_attention: all-to-all redistributes heads <-> sequence so each
     chip sees the FULL sequence for a head subset, runs plain causal flash,
     and all-to-alls back. Two collectives, exact causal semantics.

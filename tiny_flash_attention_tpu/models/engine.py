@@ -194,7 +194,8 @@ class InferenceEngine:
             self.cfg, self.params, self.cache.pages,
             jnp.asarray(self.last_token), positions, page_table,
             jnp.asarray(self.temps), sub,
-            page_size=self.page_size, fmt=self.kv_format, n_steps=n)
+            page_size=self.page_size, fmt=self.kv_format, n_steps=n,
+            greedy=bool(np.all(self.temps == 0.0)))
         self.cache.pages = new_pages
         sampled = np.asarray(sampled)           # (n, max_seqs), one sync
 
@@ -223,6 +224,7 @@ class InferenceEngine:
         for r in done:
             self.cache.free_slot(r.slot)
             del self.requests[r.slot]
+            self.temps[r.slot] = 0.0   # keep the greedy fast path available
         return done
 
     def generate(self, prompts: List[List[int]], max_new_tokens: int,

@@ -66,6 +66,13 @@ def _decode_core(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
     ps = page_size
     x = params["embed"][tokens][:, None, :].astype(cfg.dtype)   # (B, 1, dm)
     lengths = positions + 1
+    if cfg.attn_window is None:
+        # chunked-decode overrun of a finished request can push positions
+        # past table capacity; the WRITE wraps onto the slot's own pages
+        # (harmless, the tokens are discarded) but the attention length
+        # must not index pages beyond the table width — an out-of-bounds
+        # page id becomes an out-of-bounds DMA (device fault), not an error
+        lengths = jnp.minimum(lengths, page_table.shape[1] * ps)
     # ring indexing: logical page wraps modulo the table width (identity
     # for non-windowed configs; see kv_cache.append_tokens)
     page_ids = jnp.take_along_axis(
@@ -113,12 +120,13 @@ def decode_step(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "page_size", "fmt",
-                                             "n_steps"),
+                                             "n_steps", "greedy"),
                    donate_argnums=(2,))
 def decode_loop(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
                 tokens: jax.Array, positions: jax.Array,
                 page_table: jax.Array, temps: jax.Array, key: jax.Array,
-                *, page_size: int, fmt: str, n_steps: int):
+                *, page_size: int, fmt: str, n_steps: int,
+                greedy: bool = False):
     """n_steps decode steps + on-device sampling in ONE dispatch.
 
     The host-driven step() loop pays 2-3 host<->device round trips per
@@ -136,8 +144,14 @@ def decode_loop(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
         logits, pages = _decode_core(cfg, params, pages, tokens, positions,
                                      page_table, page_size=page_size,
                                      fmt=fmt)
-        key, sub = jax.random.split(key)
-        tokens = sample_tokens(logits, sub, temps)
+        if greedy:
+            # static greedy fast path: categorical sampling generates a
+            # (B, vocab) gumbel field per step — measured 0.11 ms/step at
+            # vocab 32k — that an all-temperature-zero batch never uses
+            tokens = jnp.argmax(logits, -1).astype(jnp.int32)
+        else:
+            key, sub = jax.random.split(key)
+            tokens = sample_tokens(logits, sub, temps)
         return (pages, tokens, positions + 1, key), tokens
 
     (pages, _, _, key), sampled = jax.lax.scan(

@@ -34,6 +34,12 @@ class FlashConfig:
     # Sub-tiles per KV block inside one grid step: sub-tile i+1's QK matmul
     # is independent of sub-tile i's softmax, giving Mosaic MXU/VPU overlap.
     kv_splits: int = 1
+    # Independent online-softmax streams across sub-tiles (sub-tile i uses
+    # stream i % streams), merged once per q row in the epilogue with the
+    # exact LSE combine. streams=2 removes the m/l/acc data dependency
+    # BETWEEN consecutive sub-tiles, so their VPU softmax chains can
+    # overlap each other's MXU matmuls instead of serializing.
+    stats_streams: int = 1
     # Marks the kv grid dimension "arbitrary" (sequential) and the rest
     # "parallel" so megacores can split batch/head/q blocks.
     use_dimension_semantics: bool = True

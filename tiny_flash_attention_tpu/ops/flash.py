@@ -147,6 +147,7 @@ def _fwd_kernel(
     with_segments: bool,
     window,
     quantized: bool = False,
+    streams: int = 1,
 ):
     refs = list(refs)
     q_ref, k_ref, v_ref = refs[:3]
@@ -160,9 +161,12 @@ def _fwd_kernel(
         qseg_ref, kvseg_ref = refs[:2]
         del refs[:2]
     o_ref, lse_ref, *scr = refs
-    m_scr, l_scr, acc_scr = scr[:3]
-    diff_scr = scr[3] if len(scr) > 3 else None
-    rmod_scr = scr[4] if len(scr) > 4 else None
+    m_scrs = [scr[3 * i] for i in range(streams)]
+    l_scrs = [scr[3 * i + 1] for i in range(streams)]
+    acc_scrs = [scr[3 * i + 2] for i in range(streams)]
+    scr = scr[3 * streams:]
+    diff_scr = scr[0] if len(scr) > 0 else None
+    rmod_scr = scr[1] if len(scr) > 1 else None
     t = pl.program_id(2)
     qi = qi_ref[t]
     kvi = kvi_ref[t]
@@ -172,9 +176,10 @@ def _fwd_kernel(
 
     @pl.when(flags & _FIRST != 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+        for m_scr, l_scr, acc_scr in zip(m_scrs, l_scrs, acc_scrs):
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
 
     if diff_scr is not None:
         # Mask geometry table, built once per (b, h) walk of the work list
@@ -212,7 +217,7 @@ def _fwd_kernel(
     q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
     k_full = k_ref[0, 0]  # (block_kv, d)
     v_full = v_ref[0, 0]
-    d_rep = acc_scr.shape[-1] // LANES
+    d_rep = acc_scrs[0].shape[-1] // LANES
     sub = block_kv // kv_splits
 
     # kv_splits > 1 unrolls the online-softmax update over sub-tiles of the
@@ -221,6 +226,14 @@ def _fwd_kernel(
     # parallel instead of strictly alternating (the stock kernel's
     # block_k vs block_k_major split, flash_attention.py pl.loop unroll).
     for si in range(kv_splits):
+        # Each sub-tile's online-softmax state lives in its own stream
+        # (si % streams): with streams > 1 there is NO data dependency
+        # between consecutive sub-tiles' softmax chains, so the VPU work of
+        # one can run under the MXU matmuls of the other; the streams merge
+        # exactly in the epilogue.
+        m_scr = m_scrs[si % streams]
+        l_scr = l_scrs[si % streams]
+        acc_scr = acc_scrs[si % streams]
         # Quantized payloads (int8 / fp8-e4m3 with per-token-row scales)
         # dequant around the matmuls: the payload converts to the compute
         # dtype per sub-tile on the VPU (overlapping the previous sub-tile's
@@ -306,13 +319,25 @@ def _fwd_kernel(
 
     @pl.when(flags & _LAST != 0)
     def _epilogue():
-        l = l_scr[...]
-        l_safe = jnp.where((l == 0.0) | jnp.isnan(l), 1.0, l)
-        o_ref[0] = (acc_scr[...] / jnp.tile(l_safe, (1, d_rep))).astype(
+        # Merge the independent streams with the exact log2-domain LSE
+        # combine (the same identity ring attention uses across chips).
+        m_f = m_scrs[0][...]
+        for ms in m_scrs[1:]:
+            m_f = jnp.maximum(m_f, ms[...])
+        l_f = jnp.zeros_like(l_scrs[0][...])
+        acc_f = jnp.zeros_like(acc_scrs[0][...])
+        for ms, ls, accs in zip(m_scrs, l_scrs, acc_scrs):
+            w = jnp.exp2(ms[...] - m_f)
+            # empty stream: m == m_f == -inf -> exp2(nan); weight is 0
+            w = jnp.where(jnp.isnan(w), 0.0, w) if len(m_scrs) > 1 else w
+            l_f = l_f + ls[...] * w
+            acc_f = acc_f + accs[...] * jnp.tile(w, (1, d_rep))
+        l_safe = jnp.where((l_f == 0.0) | jnp.isnan(l_f), 1.0, l_f)
+        o_ref[0] = (acc_f / jnp.tile(l_safe, (1, d_rep))).astype(
             o_ref.dtype).reshape(o_ref.shape[1:])
         # m is in the log2 domain (scale*log2e folded into q); the LSE
         # output stays natural-log for the backward (ref cutlass :614-623)
-        lse_ref[0] = (m_scr[:, :1] * _LN2 + jnp.log(l_safe[:, :1])).astype(
+        lse_ref[0] = (m_f[:, :1] * _LN2 + jnp.log(l_safe[:, :1])).astype(
             lse_ref.dtype).reshape(lse_ref.shape[1:])
 
 
@@ -352,12 +377,13 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
     kv_splits = config.kv_splits
     while block_kv % (kv_splits * LANES) and kv_splits > 1:
         kv_splits //= 2
+    streams = max(1, min(getattr(config, "stats_streams", 1), kv_splits))
     kernel = functools.partial(
         _fwd_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_kv=block_kv, group=group, q_len=q_len, kv_len=kv_len,
         any_masked=any_masked, kv_padded=kv_pad != kv_len,
         kv_splits=kv_splits, with_segments=with_segments, window=window,
-        quantized=quantized)
+        quantized=quantized, streams=streams)
 
     flops_mask = 0.5 if causal else 1.0
     cost = pl.CostEstimate(
@@ -424,7 +450,8 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
             pltpu.VMEM((rows, LANES), jnp.float32),   # running max m
             pltpu.VMEM((rows, LANES), jnp.float32),   # running sum l
             pltpu.VMEM((rows, d_pad), jnp.float32),   # output accumulator
-        ] + ([pltpu.VMEM((rows, block_kv // kv_splits), jnp.int32)]
+        ] * streams + (
+            [pltpu.VMEM((rows, block_kv // kv_splits), jnp.int32)]
              # sub-tile-wide mask diff table
              if any_masked and (causal or kv_pad != kv_len) else [])
           + ([pltpu.VMEM((rows, LANES), jnp.int32)]      # r % block_q

@@ -101,6 +101,22 @@ def test_weight_only_int8_model():
     assert agree > 0.9, agree
 
 
+def test_quantized_perplexity_delta():
+    """End-to-end perplexity gate (BASELINE accuracy row): int8 weights and
+    the flash kernel path must hold perplexity within a small delta of the
+    fp32 reference forward on the same tokens."""
+    params = make_params()
+    toks = jax.random.randint(jax.random.key(17), (4, 256), 0, 256)
+    base_loss = float(T.loss_fn(CFG, params, toks))
+    flash_cfg = dataclasses.replace(CFG, attn_impl="flash")
+    flash_loss = float(T.loss_fn(flash_cfg, params, toks))
+    qparams = T.quantize_params(params, "int8")
+    q_loss = float(T.loss_fn(flash_cfg, qparams, toks))
+    # perplexity ratio = exp(loss delta)
+    assert abs(flash_loss - base_loss) < 1e-3, (flash_loss, base_loss)
+    assert abs(q_loss - base_loss) < 0.05, (q_loss, base_loss)  # <~5% ppl
+
+
 def test_chunked_steps_match_per_token_steps():
     """steps(n) (one-dispatch device-side chunk) must reproduce the greedy
     tokens of n per-token step() calls exactly."""

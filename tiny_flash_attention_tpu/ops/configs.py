@@ -37,8 +37,10 @@ class FlashConfig:
     # Independent online-softmax streams across sub-tiles (sub-tile i uses
     # stream i % streams), merged once per q row in the epilogue with the
     # exact LSE combine. streams=2 removes the m/l/acc data dependency
-    # BETWEEN consecutive sub-tiles, so their VPU softmax chains can
-    # overlap each other's MXU matmuls instead of serializing.
+    # BETWEEN consecutive sub-tiles. MEASURED NEGATIVE on v5e (r2): 83.6
+    # vs 102 TF/s causal at (2048, 512, splits=2) — the doubled stats/acc
+    # working set costs more than the dependency break buys. Kept for
+    # other chips/shapes; default 1.
     stats_streams: int = 1
     # Marks the kv grid dimension "arbitrary" (sequential) and the rest
     # "parallel" so megacores can split batch/head/q blocks.

@@ -1,7 +1,6 @@
 #!/usr/bin/env python
 """Row-loop kernel A/B vs the work-list flagship on the headline config."""
 
-import functools
 import pathlib
 import sys
 

@@ -23,9 +23,6 @@ on real ICI identically.
 
 from __future__ import annotations
 
-import functools
-from typing import List
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

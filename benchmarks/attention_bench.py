@@ -105,6 +105,26 @@ def bench_cfg0():
              rn["min_ms"] / r["min_ms"])
 
 
+def bench_int8_prefill():
+    """int8-KV causal prefill at the headline shape: the work-list
+    unification's done-criterion is parity (within ~5%) with the bf16
+    kernel at half the cache traffic."""
+    bs, hq, hkv, S, d = 2, 8, 2, 2048, 128
+    kq, kk, kv = jax.random.split(jax.random.key(4), 3)
+    q = jax.random.normal(kq, (bs, hq, S, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (bs, hkv, S, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (bs, hkv, S, d), jnp.bfloat16)
+    kq8, vq8 = Q.quantize_kv(k, v, "int8")
+    f = jax.jit(functools.partial(flash_attention_quantized, causal=True))
+    r = run_benchmark(f, q, kq8, vq8, rounds=5)
+    fb = jax.jit(functools.partial(flash_attention, causal=True))
+    rb = run_benchmark(fb, q, k, v, rounds=5)
+    fl = attention_flops(bs, hq, S, S, d, causal=True)
+    emit("int8_kv_causal_prefill_s2048_tflops",
+         fl / (r["min_ms"] / 1e3) / 1e12, "TFLOPs/s",
+         rb["min_ms"] / r["min_ms"])
+
+
 def bench_fp8_prefill():
     # config 3: FP8 QK/PV fused dequant, chunked prefill s=32k (chunks of 4k
     # q rows against the full 32k KV — decode-shaped causal offsets)
@@ -161,8 +181,9 @@ def main():
     # config 2: paged decode
     bench_paged_decode("bf16")
     bench_paged_decode("int8")
-    # config 3: fp8 chunked prefill
+    # config 3: fp8 chunked prefill + int8 causal prefill parity
     bench_fp8_prefill()
+    bench_int8_prefill()
 
 
 if __name__ == "__main__":

@@ -99,6 +99,12 @@ def main(seed0=0):
           flash_attention(q, k, v, causal=True), oracle(q, k, v, causal=True),
           2e-2)
 
+    # non-causal at the same shape: exercises the whole-sequence row-fold
+    # dispatch default (block_q=8192 folded, kv 1024/4 — round 2)
+    check("bf16 gqa NON-causal s2048 d128 (row-fold dispatch)",
+          flash_attention(q, k, v, causal=False), oracle(q, k, v),
+          2e-2)
+
     # decode shape (q_len != kv_len), non-causal segments-free
     qd, kd, vd = qkv(seed0 + 1, 1, 8, 2, 128, 2048, 128, jnp.bfloat16)
     check("bf16 decode-shape causal",

@@ -139,6 +139,28 @@ def test_chunked_steps_match_per_token_steps():
     assert run(False) == run(True)
 
 
+def test_packed_admission_matches_batched():
+    """add_requests_packed (ragged prompts packed into one row, pruned
+    work list) must admit identically to the padded batched path: same
+    first tokens and same subsequent greedy decode."""
+    params = make_params()
+    rng = np.random.default_rng(23)
+    prompts = [list(rng.integers(0, 256, size=n)) for n in (7, 130, 61)]
+
+    def run(packed):
+        eng = InferenceEngine(CFG, params, num_pages=64, page_size=128,
+                              max_seqs=4, pages_per_seq=4)
+        reqs = [Request(p, max_new_tokens=5) for p in prompts]
+        if packed:
+            eng.add_requests_packed(reqs)
+        else:
+            eng.add_requests(reqs)
+        eng.steps(4)
+        return [eng.requests[r.slot].generated for r in reqs]
+
+    assert run(True) == run(False)
+
+
 def test_chunked_overrun_at_table_capacity():
     """A request whose prompt+max_new_tokens exactly fills its page_table
     row must survive chunked decode alongside a longer request (regression:

@@ -97,3 +97,30 @@ def test_small_shape_xla_route_with_segments():
     want = flash_attention(q, k, v, causal=True, segment_ids=(seg, seg),
                            config=INTERP)
     assert_close(got, want, atol=1e-4, name="xla-vs-kernel")
+
+
+def test_static_segment_starts_prune_worklist():
+    """segment_starts prunes tiles entirely left of the q rows' segment;
+    results must match the unpruned segment-masked kernel exactly, and the
+    work list must actually shrink to ~sum(L_i^2)/2."""
+    from tiny_flash_attention_tpu.ops.flash import _build_worklist
+
+    L1, L2 = 512, 512
+    L = L1 + L2
+    kq, kk, kv = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(kq, (1, 2, L, D), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, L, D), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, L, D), jnp.float32)
+    seg = jnp.asarray([[1] * L1 + [2] * L2], jnp.int32)
+    base = flash_attention(q, k, v, causal=True, segment_ids=(seg, seg),
+                           config=INTERP)
+    pruned = flash_attention(q, k, v, causal=True, segment_ids=(seg, seg),
+                             segment_starts=(0, L1), config=INTERP)
+    assert_close(pruned, base, atol=1e-6, name="pruned == unpruned")
+
+    qis_full, _, _ = _build_worklist(8, 8, 128, 128, L, L, True)
+    qis_pruned, _, _ = _build_worklist(8, 8, 128, 128, L, L, True,
+                                       segment_starts=(0, L1))
+    # full causal: 36 tiles; block-diagonal: 2 * 10 = 20
+    assert len(qis_full) == 36 and len(qis_pruned) == 20, (
+        len(qis_full), len(qis_pruned))

@@ -111,6 +111,60 @@ class InferenceEngine:
             self._record(slot, int(first_toks[i]))
         return slots
 
+    def add_requests_packed(self, reqs: List[Request]) -> List[int]:
+        """Admits several requests with ONE PACKED prefill dispatch.
+
+        Prompts pad to their own page-multiple bucket and concatenate into
+        a single row; the flagship kernel gets segment ids (runtime mask)
+        plus the STATIC pack offsets, which prune its work list to the
+        block-diagonal — admission costs sum(L_i^2)/2 attention instead of
+        add_requests' B * L_max^2 / 2, a win whenever prompt lengths
+        diverge. Cache writes land per-request from the packed K/V."""
+        from tiny_flash_attention_tpu.models.inference import (
+            prefill_forward_packed)
+
+        assert self.cfg.attn_window is None, \
+            "packed admission + windowed ring cache: use add_requests"
+        ps = self.page_size
+        slots, offs, lpads = [], [], []
+        off = 0
+        for req in reqs:
+            slot = self.cache.alloc_slot(len(req.prompt)
+                                         + req.max_new_tokens)
+            req.slot = slot
+            self.requests[slot] = req
+            slots.append(slot)
+            offs.append(off)
+            lpad = -(-len(req.prompt) // ps) * ps
+            lpads.append(lpad)
+            off += lpad
+        total = off
+        toks = np.zeros((1, total), np.int32)
+        segs = np.zeros((1, total), np.int32)
+        positions = np.zeros((total,), np.int32)
+        for i, req in enumerate(reqs):
+            o = offs[i]
+            toks[0, o:o + len(req.prompt)] = req.prompt
+            segs[0, o:o + lpads[i]] = i + 1
+            positions[o:o + lpads[i]] = np.arange(lpads[i])
+        logits, ks, vs = prefill_forward_packed(
+            self.cfg, self.params, jnp.asarray(toks), jnp.asarray(segs),
+            jnp.asarray(positions), segment_starts=tuple(offs))
+        self.key, sub = jax.random.split(self.key)
+        temps = jnp.asarray([r.temperature for r in reqs], jnp.float32)
+        last = jnp.asarray([offs[i] + len(r.prompt) - 1
+                            for i, r in enumerate(reqs)])
+        first_toks = np.asarray(sample_tokens(logits[0, last], sub, temps))
+
+        for i, (slot, req) in enumerate(zip(slots, reqs)):
+            o, lp = offs[i], lpads[i]
+            self.cache.write_prefill(slot, ks[:, 0, :, o:o + lp],
+                                     vs[:, 0, :, o:o + lp])
+            self.cache.lengths[slot] = len(req.prompt)
+            self.temps[slot] = req.temperature
+            self._record(slot, int(first_toks[i]))
+        return slots
+
     # --- decode ------------------------------------------------------------
 
     def step(self) -> Dict[int, int]:

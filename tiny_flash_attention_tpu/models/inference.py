@@ -47,6 +47,39 @@ def prefill_forward_batched(cfg: T.ModelConfig, params: dict,
     return logits, ks, vs
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "segment_starts"))
+def prefill_forward_packed(cfg: T.ModelConfig, params: dict,
+                           tokens: jax.Array, seg_ids: jax.Array,
+                           positions: jax.Array, *, segment_starts):
+    """Ragged prompts PACKED into one row: tokens/seg_ids (1, L_total),
+    positions (L_total,) restarting at each prompt (RoPE), segment_starts
+    a static tuple of pack offsets.
+
+    Attention runs the flagship kernel with segment masking AND a
+    work-list pruned to the block-diagonal (the host knows the layout), so
+    the cost is sum(L_i^2)/2 — admission stops paying (B * L_max^2)/2 when
+    prompt lengths diverge. Returns (logits (1, L, V), ks, vs) shaped like
+    prefill_forward_batched with B=1.
+    """
+    b, s = tokens.shape
+    x = params["embed"][tokens].astype(cfg.dtype)
+
+    def body(x, layer):
+        q, k, v = T.qkv_proj(cfg, layer, x, positions)
+        o = flash_attention(q, k, v, causal=True,
+                            segment_ids=(seg_ids, seg_ids),
+                            segment_starts=segment_starts)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_q_heads * cfg.d_head)
+        x = x + T._proj(o, layer["wo"])
+        x = T.mlp_block(cfg, layer, x)
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(body, x, params["layers"])
+    x = T.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = T._proj(x, params["lm_head"]).astype(jnp.float32)
+    return logits, ks, vs
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def prefill_forward(cfg: T.ModelConfig, params: dict, tokens: jax.Array):
     """tokens (1, L) -> (logits (1, L, V), k_layers, v_layers).

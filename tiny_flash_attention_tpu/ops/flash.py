@@ -78,30 +78,50 @@ def _payload_to_compute(x, dtype):
 
 def _build_worklist(n_q: int, n_kv: int, block_q: int, block_kv: int,
                     q_len: int, kv_len: int, causal: bool,
-                    window=None):
+                    window=None, segment_starts=None):
     """Static (qi, kvi, flags) triples: the tiles that actually run.
 
     For causal attention this is the on-or-below-diagonal triangle; a
     sliding window additionally drops tiles left of the band, so long-
-    sequence SWA costs O(seq * window) tiles. Rows of q blocks with no
-    visible KV still get one (masked) item so their output is written
-    (zeros via the empty-row guard).
+    sequence SWA costs O(seq * window) tiles. STATIC segment boundaries
+    (packed ragged sequences whose layout the host knows, e.g. engine
+    admission) additionally drop tiles entirely before the q rows'
+    segment — packed prefill costs sum(L_i^2)/2 instead of the full
+    (sum L_i)^2/2 triangle. Rows of q blocks with no visible KV still get
+    one (masked) item so their output is written (zeros via the empty-row
+    guard).
     """
     offset = kv_len - q_len
     kv_pad = n_kv * block_kv != kv_len
+    if segment_starts is not None:
+        assert offset == 0, "segment_starts requires q_len == kv_len"
+        starts = sorted(set([0] + [int(s) for s in segment_starts]))
+
+        def seg_start(pos):
+            lo = 0
+            for b in starts:
+                if b <= pos:
+                    lo = b
+            return lo
     qis, kvis, flags = [], [], []
     for qi in range(n_q):
+        first_pos = qi * block_q + offset
         if causal:
             last_pos = qi * block_q + block_q - 1 + offset
             hi = min(n_kv, max(1, -(-(last_pos + 1) // block_kv)))
         else:
             hi = n_kv
+            last_pos = q_len - 1 + offset
         lo = 0
         if window is not None:
             # earliest visible column across the tile = first row's left
             # band edge
-            first_pos = qi * block_q + offset
             lo = min(max(0, (first_pos - window + 1) // block_kv), hi - 1)
+        if segment_starts is not None:
+            # earliest same-segment column across the tile = the FIRST
+            # row's segment start (later rows start at or after it)
+            lo = max(lo, min(seg_start(min(first_pos, q_len - 1))
+                             // block_kv, hi - 1))
         for j in range(lo, hi):
             f = 0
             if j == lo:
@@ -342,7 +362,8 @@ def _fwd_kernel(
 
 
 def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
-                    window=None, k_scales=None, v_scales=None):
+                    window=None, k_scales=None, v_scales=None,
+                    segment_starts=None):
     """Runs the forward pallas_call; returns (out, lse).
 
     k/v may be quantized payloads (int8 / float8_e4m3fn) when k_scales /
@@ -369,7 +390,8 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
     v = _pad4(v, kv_pad, d_pad)
 
     qis, kvis, flags = _build_worklist(
-        n_q, n_kv, block_q, block_kv, q_len, kv_len, causal, window=window)
+        n_q, n_kv, block_q, block_kv, q_len, kv_len, causal, window=window,
+        segment_starts=segment_starts)
     T = len(qis)
     with_segments = segment_ids is not None
     any_masked = bool((flags & _MASKED).any()) or with_segments
@@ -489,20 +511,24 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
 # is trainable end-to-end.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, segment_ids, causal, sm_scale, config, window):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, segment_ids, causal, sm_scale, config, window,
+           segment_starts=None):
     out, _ = _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
-                             window=window)
+                             window=window, segment_starts=segment_starts)
     return out
 
 
-def _flash_fwd_rule(q, k, v, segment_ids, causal, sm_scale, config, window):
+def _flash_fwd_rule(q, k, v, segment_ids, causal, sm_scale, config, window,
+                    segment_starts=None):
     out, lse = _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale,
-                               config, window=window)
+                               config, window=window,
+                               segment_starts=segment_starts)
     return out, (q, k, v, segment_ids, out, lse)
 
 
-def _flash_bwd_rule(causal, sm_scale, config, window, res, g):
+def _flash_bwd_rule(causal, sm_scale, config, window, segment_starts,
+                    res, g):
     from tiny_flash_attention_tpu.ops.flash_bwd import flash_attention_bwd
     q, k, v, segment_ids, out, lse = res
     # tuned on v5e (chained timing, all three grads live): 512x512 wins
@@ -520,7 +546,8 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sm_scale", "window", "config", "return_lse"),
+    static_argnames=("causal", "sm_scale", "window", "config", "return_lse",
+                     "segment_starts"),
 )
 def flash_attention(
     q: jax.Array,
@@ -531,6 +558,7 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     segment_ids=None,
     window: Optional[int] = None,
+    segment_starts=None,
     config: Optional[FlashConfig] = None,
     return_lse: bool = False,
 ):
@@ -548,6 +576,11 @@ def flash_attention(
       window: optional sliding-window size (requires causal): each token
         attends to positions [pos - window + 1, pos]. The work-list grid
         enumerates only the band, so cost is O(seq * window)
+      segment_starts: optional STATIC tuple of segment start positions for
+        packed sequences whose layout the host knows (engine admission):
+        prunes the work list to the block-diagonal, so packed ragged
+        prefill costs sum(L_i^2)/2 tiles. Pass segment_ids too (they
+        carry the runtime mask); requires q_len == kv_len
       config: tile geometry; defaults via the (dtype, head_dim) dispatch table
       return_lse: also return log-sum-exp (batch, q_heads, q_len) float32
         (ref cutlass flash_attention.cu:756-771 returns {out, softmax_lse})
@@ -563,6 +596,10 @@ def flash_attention(
         assert causal, "sliding window requires causal=True"
         assert window >= 1, window
         window = int(window)
+    if segment_starts is not None:
+        assert segment_ids is not None, (
+            "segment_starts prunes scheduling; segment_ids carry the mask")
+        segment_starts = tuple(int(x) for x in segment_starts)
     if q.dtype == jnp.float16:
         # Mosaic has no f16 vector type; bf16 compute (round 1) measured
         # 1.35e-2 vs the fp32 oracle — over the reference's 1e-2 fp16 gate
@@ -575,7 +612,8 @@ def flash_attention(
         out = flash_attention(
             q.astype(jnp.float32), k.astype(jnp.float32),
             v.astype(jnp.float32), causal=causal, sm_scale=sm_scale,
-            segment_ids=segment_ids, window=window, config=config,
+            segment_ids=segment_ids, window=window,
+            segment_starts=segment_starts, config=config,
             return_lse=return_lse)
         if return_lse:
             return out[0].astype(jnp.float16), out[1]
@@ -600,8 +638,10 @@ def flash_attention(
                                 causal=causal)
     if return_lse:
         return _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale,
-                               config, window=window)
-    return _flash(q, k, v, segment_ids, causal, sm_scale, config, window)
+                               config, window=window,
+                               segment_starts=segment_starts)
+    return _flash(q, k, v, segment_ids, causal, sm_scale, config, window,
+                  segment_starts)
 
 
 def _xla_attention(q, k, v, segment_ids, causal, sm_scale, return_lse,

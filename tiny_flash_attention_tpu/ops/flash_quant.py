@@ -39,7 +39,7 @@ __all__ = ["flash_attention_quantized", "_payload_to_compute"]
 
 @functools.partial(
     jax.jit, static_argnames=("causal", "sm_scale", "window", "config",
-                              "return_lse"))
+                              "return_lse", "segment_starts"))
 def flash_attention_quantized(
     q: jax.Array,
     k: QuantizedTensor,
@@ -49,6 +49,7 @@ def flash_attention_quantized(
     sm_scale: Optional[float] = None,
     segment_ids=None,
     window: Optional[int] = None,
+    segment_starts=None,
     config: Optional[FlashConfig] = None,
     return_lse: bool = False,
 ):
@@ -77,9 +78,13 @@ def flash_attention_quantized(
             # measured on v5e: sub-tiling helps int8 (+2.5%) but hurts fp8
             # (-3%) — the bit-surgery convert already fills the VPU slots
             config = dataclasses.replace(config, kv_splits=1)
+    if segment_starts is not None:
+        assert segment_ids is not None
+        segment_starts = tuple(int(x) for x in segment_starts)
     out, lse = _flash_fwd_impl(
         q, k.values, v.values, segment_ids, causal, sm_scale, config,
-        window=window, k_scales=k.scales, v_scales=v.scales)
+        window=window, k_scales=k.scales, v_scales=v.scales,
+        segment_starts=segment_starts)
     if return_lse:
         return out, lse
     return out

@@ -17,7 +17,6 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tiny_flash_attention_tpu.models import transformer as T
 from tiny_flash_attention_tpu.parallel.sharded import make_mesh

@@ -16,7 +16,6 @@ from tiny_flash_attention_tpu.models import transformer as T
 from tiny_flash_attention_tpu.models.kv_cache import _quant_rows
 from tiny_flash_attention_tpu.ops.flash import flash_attention
 from tiny_flash_attention_tpu.ops.paged_fused import fused_paged_decode_attention
-from tiny_flash_attention_tpu.ops import reference as R
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -124,3 +124,42 @@ def test_static_segment_starts_prune_worklist():
     # full causal: 36 tiles; block-diagonal: 2 * 10 = 20
     assert len(qis_full) == 36 and len(qis_pruned) == 20, (
         len(qis_full), len(qis_pruned))
+
+
+def test_segment_starts_pruned_grads_match():
+    """Gradients through the pruned work lists (fwd + all three bwd
+    paths) must match the unpruned segment-masked gradients."""
+    from tiny_flash_attention_tpu.ops.flash_bwd import (
+        _build_bwd_worklist, _build_bwd_worklist_qmajor)
+
+    L1, L2 = 256, 256
+    L = L1 + L2
+    kq, kk, kv = jax.random.split(jax.random.key(5), 3)
+    q = jax.random.normal(kq, (1, 2, L, D), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, L, D), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, L, D), jnp.float32)
+    seg = jnp.asarray([[1] * L1 + [2] * L2], jnp.int32)
+
+    def loss(starts):
+        def f(q, k, v):
+            o = flash_attention(q, k, v, causal=True,
+                                segment_ids=(seg, seg),
+                                segment_starts=starts, config=INTERP)
+            w = jnp.arange(o.size, dtype=jnp.float32).reshape(o.shape)
+            return jnp.sum(o.astype(jnp.float32) * w) / o.size
+        return f
+
+    g0 = jax.grad(loss(None), argnums=(0, 1, 2))(q, k, v)
+    g1 = jax.grad(loss((0, L1)), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("dq dk dv".split(), g1, g0):
+        assert_close(a, b, atol=1e-5, name=f"pruned {name}")
+
+    # the bwd work lists actually shrink
+    full = len(_build_bwd_worklist(4, 4, 128, 128, L, L, True, None)[0])
+    pruned = len(_build_bwd_worklist(4, 4, 128, 128, L, L, True, None,
+                                     segment_starts=(0, L1))[0])
+    fullq = len(_build_bwd_worklist_qmajor(4, 4, 128, 128, L, L, True,
+                                           None)[0])
+    prunedq = len(_build_bwd_worklist_qmajor(
+        4, 4, 128, 128, L, L, True, None, segment_starts=(0, L1))[0])
+    assert pruned < full and prunedq < fullq, (pruned, full, prunedq, fullq)

@@ -537,7 +537,8 @@ def _flash_bwd_rule(causal, sm_scale, config, window, segment_starts,
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, g, causal=causal, sm_scale=sm_scale,
         segment_ids=segment_ids, window=window,
-        block_q=bwd_block, block_kv=bwd_block, interpret=config.interpret)
+        block_q=bwd_block, block_kv=bwd_block, interpret=config.interpret,
+        segment_starts=segment_starts)
     return dq, dk, dv, None
 
 

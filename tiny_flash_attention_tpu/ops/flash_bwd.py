@@ -48,8 +48,28 @@ def _cdiv(a, b):
 _BWD_FIRST, _BWD_LAST = 1, 2
 
 
+def _seg_bounds_fns(segment_starts, seq_len):
+    """(seg_start(pos), seg_end(pos)) helpers for STATIC packed layouts."""
+    starts = sorted(set([0] + [int(x) for x in segment_starts]))
+
+    def seg_start(pos):
+        lo = 0
+        for b in starts:
+            if b <= pos:
+                lo = b
+        return lo
+
+    def seg_end(pos):
+        for b in starts:
+            if b > pos:
+                return b
+        return seq_len
+
+    return seg_start, seg_end
+
+
 def _build_bwd_worklist(n_q, n_kv, block_q, block_kv, q_len, kv_len,
-                        causal, window):
+                        causal, window, segment_starts=None):
     """Static (kvi, qi) pairs, kv-major (dk/dv windows stay contiguous;
     dq[qi] completes at its last listed kvi).
 
@@ -61,6 +81,9 @@ def _build_bwd_worklist(n_q, n_kv, block_q, block_kv, q_len, kv_len,
     zeros.
     """
     offset = kv_len - q_len
+    if segment_starts is not None:
+        assert offset == 0, "segment_starts requires q_len == kv_len"
+        seg_start, seg_end = _seg_bounds_fns(segment_starts, q_len)
     kvis, qis, flags = [], [], []
     for kvi in range(n_kv):
         lo, hi = 0, n_q - 1
@@ -70,6 +93,13 @@ def _build_bwd_worklist(n_q, n_kv, block_q, block_kv, q_len, kv_len,
             if window is not None:
                 hi = min(hi, (kvi * block_kv + block_kv + window - 2
                               - offset) // block_q)
+        if segment_starts is not None:
+            # q rows past the kv block's last segment cannot see it; rows
+            # before its first segment cannot either
+            kv_first = kvi * block_kv
+            kv_last = min(kvi * block_kv + block_kv - 1, kv_len - 1)
+            lo = max(lo, seg_start(kv_first) // block_q)
+            hi = min(hi, (seg_end(kv_last) - 1) // block_q)
         if kvi == 0:
             lo = 0          # cover q blocks that attend nothing (masked)
         if hi < lo or lo > n_q - 1:
@@ -85,12 +115,16 @@ def _build_bwd_worklist(n_q, n_kv, block_q, block_kv, q_len, kv_len,
 
 
 def _build_bwd_worklist_qmajor(n_q, n_kv, block_q, block_kv, q_len,
-                               kv_len, causal, window):
+                               kv_len, causal, window,
+                               segment_starts=None):
     """Static (qi, kvi, flags) triples, q-major, for the dq kernel: FIRST
     marks each qi's first live kv tile (scratch reset), LAST its last
     (result write). Every qi emits at least one item (a dead q block's
     single masked item flushes zeros)."""
     offset = kv_len - q_len
+    if segment_starts is not None:
+        assert offset == 0, "segment_starts requires q_len == kv_len"
+        seg_start, seg_end = _seg_bounds_fns(segment_starts, q_len)
     qis, kvis, flags = [], [], []
     for qi in range(n_q):
         lo, hi = 0, n_kv - 1
@@ -100,6 +134,13 @@ def _build_bwd_worklist_qmajor(n_q, n_kv, block_q, block_kv, q_len,
             if window is not None:
                 lo = max(0, (qi * block_q + offset - window + 1) // block_kv)
                 lo = min(lo, hi)
+        if segment_starts is not None:
+            # cols before the rows' first segment / after their last are
+            # cross-segment for every row in the block
+            first_pos = min(qi * block_q, q_len - 1)
+            last_pos = min(qi * block_q + block_q - 1, q_len - 1)
+            lo = max(lo, min(seg_start(first_pos) // block_kv, hi))
+            hi = max(min(hi, (seg_end(last_pos) - 1) // block_kv), lo)
         for kvi in range(lo, hi + 1):
             f = (_BWD_FIRST if kvi == lo else 0) | (
                 _BWD_LAST if kvi == hi else 0)
@@ -346,7 +387,7 @@ def _bwd_fused_kernel(kvi_ref, qi_ref,
 def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
                      block_q, block_kv, q_len, kv_len, q_pad, kv_pad,
                      d_pad, kv_mask, precision, interpret, guard,
-                     kv_splits=1, window=None):
+                     kv_splits=1, window=None, segment_starts=None):
     bs, hq = q.shape[:2]
     hkv = k.shape[1]
     group = hq // hkv
@@ -357,7 +398,8 @@ def _flash_bwd_fused(q, k, v, do, lsep, dip, segs, *, causal, sm_scale,
     # of the causal/window band, so dead tiles cost neither grid steps
     # nor DMA.
     kvis, qis, _ = _build_bwd_worklist(n_q, n_kv, block_q, block_kv,
-                                       q_len, kv_len, causal, window)
+                                       q_len, kv_len, causal, window,
+                                       segment_starts=segment_starts)
     T = len(kvis)
 
     qspec = pl.BlockSpec(
@@ -418,7 +460,8 @@ _FUSED_SCRATCH_LIMIT = 13 * 1024 * 1024
 
 def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
                         segment_ids=None, window=None, block_q=128,
-                        block_kv=128, kv_splits=1, interpret=False):
+                        block_kv=128, kv_splits=1, interpret=False,
+                        segment_starts=None):
     """Computes (dq, dk, dv). All arrays (b, h, s, d)-shaped like forward.
 
     segment_ids: optional (q_seg (b, q_len), kv_seg (b, kv_len)) matching
@@ -477,14 +520,16 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
             block_q=block_q, block_kv=block_kv, q_len=q_len, kv_len=kv_len,
             q_pad=q_pad, kv_pad=kv_pad, d_pad=d_pad, kv_mask=kv_mask,
             precision=precision, interpret=interpret, guard=guard,
-            kv_splits=kv_splits, window=window)
+            kv_splits=kv_splits, window=window,
+            segment_starts=segment_starts)
         return (dq[:, :, :q_len, :d], dk[:, :, :kv_len, :d],
                 dv[:, :, :kv_len, :d])
 
     # dq: q-major work list (the same dead-tile elimination as the fused
     # path, applied to the long-sequence fallback)
     dq_qis, dq_kvis, dq_flags = _build_bwd_worklist_qmajor(
-        n_q, n_kv, block_q, block_kv, q_len, kv_len, causal, window)
+        n_q, n_kv, block_q, block_kv, q_len, kv_len, causal, window,
+        segment_starts=segment_starts)
     T_dq = len(dq_qis)
     qspec = pl.BlockSpec((1, 1, block_q, d_pad),
                          lambda b, h, t, qj, kj, fl: (b, h, qj[t], 0))
@@ -528,7 +573,8 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal, sm_scale,
 
     # dkv: kv-major work list; grid (bs, hkv, T, group)
     dk_kvis, dk_qis, dk_flags = _build_bwd_worklist(
-        n_q, n_kv, block_q, block_kv, q_len, kv_len, causal, window)
+        n_q, n_kv, block_q, block_kv, q_len, kv_len, causal, window,
+        segment_starts=segment_starts)
     T_dkv = len(dk_kvis)
     qspec2 = pl.BlockSpec(
         (1, 1, block_q, d_pad),

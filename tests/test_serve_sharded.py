@@ -46,3 +46,28 @@ def test_sharded_decode_matches_single_device():
         np.testing.assert_allclose(np.asarray(lp_got, np.float32),
                                    np.asarray(lp_ref, np.float32),
                                    rtol=0, atol=1e-5)
+
+
+def test_sharded_engine_generate_matches_plain():
+    """The full serving loop (admission, paged cache, chunked decode,
+    collection) with tensor-parallel decode must generate the same greedy
+    tokens as the single-chip engine."""
+    from tiny_flash_attention_tpu.models.engine import InferenceEngine
+    from tiny_flash_attention_tpu.parallel.serve import (
+        ShardedInferenceEngine)
+
+    params = T.init_params(CFG, jax.random.key(0))
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(1, 2),
+                ("data", "model"))
+    rng = np.random.default_rng(31)
+    prompts = [list(rng.integers(0, 256, size=n)) for n in (9, 40)]
+
+    plain = InferenceEngine(CFG, params, num_pages=32, page_size=128,
+                            max_seqs=2, pages_per_seq=4)
+    want = plain.generate(prompts, max_new_tokens=8, chunk=8)
+
+    sharded = ShardedInferenceEngine(CFG, params, mesh, num_pages=32,
+                                     page_size=128, max_seqs=2,
+                                     pages_per_seq=4)
+    got = sharded.generate(prompts, max_new_tokens=8, chunk=8)
+    assert got == want, (got, want)

@@ -207,8 +207,6 @@ class InferenceEngine:
         overrun; the allocator reserves for it via grow_slot below).
         Returns {slot: [tokens...]} for tokens actually recorded.
         """
-        from tiny_flash_attention_tpu.models.inference import decode_loop
-
         active = [s for s, r in self.requests.items() if not r.done]
         if not active or n <= 0:
             return {}
@@ -242,16 +240,8 @@ class InferenceEngine:
             bucket = 1 << max(0, (pages_needed - 1)).bit_length()
             if bucket < self.cache.pages_per_seq:
                 page_table = page_table[:, :bucket]
-        self.key, sub = jax.random.split(self.key)
-
-        new_pages, sampled, _ = decode_loop(
-            self.cfg, self.params, self.cache.pages,
-            jnp.asarray(self.last_token), positions, page_table,
-            jnp.asarray(self.temps), sub,
-            page_size=self.page_size, fmt=self.kv_format, n_steps=n,
-            greedy=bool(np.all(self.temps == 0.0)))
-        self.cache.pages = new_pages
-        sampled = np.asarray(sampled)           # (n, max_seqs), one sync
+        sampled = np.asarray(                   # (n, max_seqs), one sync
+            self._decode_chunk(positions, page_table, n))
 
         out: Dict[int, List[int]] = {s: [] for s in active}
         for slot in active:
@@ -264,6 +254,22 @@ class InferenceEngine:
                 out[slot].append(tok)
                 self._record(slot, tok)
         return out
+
+    def _decode_chunk(self, positions, page_table, n):
+        """Dispatches one device-side decode chunk; returns sampled (n, B).
+        Subclass hook: ShardedInferenceEngine swaps in the tensor-parallel
+        loop."""
+        from tiny_flash_attention_tpu.models.inference import decode_loop
+
+        self.key, sub = jax.random.split(self.key)
+        new_pages, sampled, _ = decode_loop(
+            self.cfg, self.params, self.cache.pages,
+            jnp.asarray(self.last_token), positions, page_table,
+            jnp.asarray(self.temps), sub,
+            page_size=self.page_size, fmt=self.kv_format, n_steps=n,
+            greedy=bool(np.all(self.temps == 0.0)))
+        self.cache.pages = new_pages
+        return sampled
 
     def _record(self, slot: int, tok: int) -> None:
         req = self.requests[slot]

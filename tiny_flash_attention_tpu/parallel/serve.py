@@ -112,3 +112,48 @@ def make_sharded_decode_loop(cfg: T.ModelConfig, mesh: Mesh, *,
         out_specs=(page_spec, P()),
         check_vma=False)
     return jax.jit(fn)
+
+
+class ShardedInferenceEngine:
+    """Continuous-batching engine whose decode chunks run tensor-parallel.
+
+    Wraps models.engine.InferenceEngine: all host logic (admission, page
+    allocation, bucketing, EOS bookkeeping) is inherited; parameters are
+    committed to their megatron shardings, cache pages shard by kv head
+    over the model axis, and the chunked-decode hook dispatches
+    make_sharded_decode_loop. Prefill runs through the same jitted path as
+    the single-chip engine — with sharded parameters, GSPMD partitions it.
+    Greedy decoding only (the sharded loop's replicated-stream invariant).
+    """
+
+    def __new__(cls, cfg, params, mesh: Mesh, *, model_axis: str = "model",
+                **kw):
+        from jax.sharding import NamedSharding
+        from tiny_flash_attention_tpu.models.engine import InferenceEngine
+
+        class _Sharded(InferenceEngine):
+            def _decode_chunk(self, positions, page_table, n):
+                assert (self.temps == 0.0).all(), \
+                    "sharded engine serves greedy streams"
+                key = (n, page_table.shape[1])
+                if key not in self._loops:
+                    self._loops[key] = make_sharded_decode_loop(
+                        self.cfg, mesh, page_size=self.page_size,
+                        fmt=self.kv_format, n_steps=n,
+                        model_axis=model_axis)
+                new_pages, sampled = self._loops[key](
+                    self.params, self.cache.pages,
+                    jnp.asarray(self.last_token), positions, page_table)
+                self.cache.pages = new_pages
+                return sampled
+
+        eng = _Sharded(cfg, params, **kw)
+        pshard = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), param_specs(cfg),
+            is_leaf=lambda x: isinstance(x, P))
+        eng.params = jax.device_put(params, pshard)
+        page_sh = NamedSharding(mesh, P(model_axis, None, None, None))
+        eng.cache.pages = [jax.device_put(p, page_sh)
+                           for p in eng.cache.pages]
+        eng._loops = {}
+        return eng

@@ -64,26 +64,27 @@ def bench_engine(kv_format: str, *, batch=8, prompt_len=512,
     # measure it on ready data and subtract, and take the best chunk to
     # shed one-off relay hiccups.
     fence = min(_fence_ms(eng) for _ in range(5)) / 1e3
-    best = float("inf")
-    n_chunk_tokens = 0
+    rates = []
     for _ in range(n_chunks - 1):
         t0 = time.perf_counter()
         got = eng.steps(chunk)
         dt_i = time.perf_counter() - t0 - fence
         n_i = sum(len(v) for v in got.values())
-        if n_i and dt_i / n_i < best:
-            best, n_chunk_tokens = dt_i / n_i, n_i
-    n_tokens, dt = n_chunk_tokens, best * n_chunk_tokens
+        if n_i and dt_i > 0:
+            rates.append(n_i / dt_i)
+    best = max(rates)
+    median = float(np.median(rates))
 
     tag = f"{kv_format}" + (f"_w{weight_format}" if weight_format else "") \
         + tag_extra
     print(json.dumps({
         "metric": f"engine_decode_{tag}_b{batch}_tokens_per_s",
-        "value": round(n_tokens / dt, 1),
+        "value": round(best, 1),            # best chunk, fence-subtracted
+        "median": round(median, 1),          # typical chunk (relay jitter in)
         "unit": "tokens/s",
-        "vs_baseline": round((n_tokens / dt) / (batch / dt_step), 3),
+        "vs_baseline": round(best / (batch / dt_step), 3),
     }))
-    return n_tokens / dt
+    return best
 
 
 def bench_stock_dense(*, batch=8, prompt_len=512, decode_steps=256,
@@ -160,16 +161,17 @@ def bench_stock_dense(*, batch=8, prompt_len=512, decode_steps=256,
         np.asarray(out[-1])
         fences.append(time.perf_counter() - t0)
     fence = min(fences)
-    best = float("inf")
+    dts = []
     for _ in range(max(4, decode_steps // n)):
         t0 = time.perf_counter()
         cache_k, cache_v, tok, pos, out = step(cache_k, cache_v, tok, pos, n)
         np.asarray(out[-1])
-        best = min(best, time.perf_counter() - t0 - fence)
-    rate = out.size / best
+        dts.append(time.perf_counter() - t0 - fence)
+    rate = out.size / min(dts)
     print(json.dumps({
         "metric": f"stock_dense_decode_b{batch}{tag_extra}_tokens_per_s",
-        "value": round(rate, 1),
+        "value": round(rate, 1),            # best chunk, fence-subtracted
+        "median": round(out.size / float(np.median(dts)), 1),
         "unit": "tokens/s",
     }))
     return rate

@@ -1,0 +1,99 @@
+"""Triangle-decomposition kernel (ops/flash_tri.py) parity suite.
+
+Oracle ladder per the reference's test pattern (SURVEY.md section 4): fp32
+pure-JAX naive reference -> work-list kernel -> tri kernel, with
+dtype-tiered tolerances (fp32 ~1e-5-class, bf16-class 1e-2 — ref
+flash_attention_cutlass/test.py:87)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tiny_flash_attention_tpu.ops.configs import FlashConfig
+from tiny_flash_attention_tpu.ops.flash import _flash_fwd_impl, flash_attention
+from tiny_flash_attention_tpu.ops.flash_tri import tri_flash_fwd, tri_eligible
+from tiny_flash_attention_tpu.ops.quant import quantize_kv
+from tiny_flash_attention_tpu.ops.reference import mha_reference
+
+
+def _mk(shape_q, shape_kv, dtype, seed=0):
+    k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+    return (jax.random.normal(k1, shape_q, dtype),
+            jax.random.normal(k2, shape_kv, dtype),
+            jax.random.normal(k3, shape_kv, dtype))
+
+
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 1e-5),
+                                        (jnp.bfloat16, 2e-2)])
+@pytest.mark.parametrize("s,sub,group", [(256, 128, 4), (384, 256, 1),
+                                         (512, 128, 2)])
+def test_tri_matches_reference(dtype, atol, s, sub, group):
+    q, k, v = _mk((2, 2 * group, s, 64), (2, 2, s, 64), dtype)
+    out, lse = tri_flash_fwd(q, k, v, sm_scale=0.125, sub=sub,
+                             interpret=True)
+    want = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32), causal=True, sm_scale=0.125)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want), atol=atol, rtol=0)
+
+
+def test_tri_lse_bitexact_vs_worklist():
+    """Same log2-domain math as the work-list kernel -> identical LSE."""
+    q, k, v = _mk((2, 4, 256, 64), (2, 1, 256, 64), jnp.float32, seed=3)
+    out_t, lse_t = tri_flash_fwd(q, k, v, sm_scale=0.1, sub=128,
+                                 interpret=True)
+    out_w, lse_w = _flash_fwd_impl(
+        q, k, v, None, True, 0.1,
+        FlashConfig(block_q=128, block_kv=128, interpret=True))
+    np.testing.assert_array_equal(np.asarray(lse_t), np.asarray(lse_w))
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_w),
+                               atol=1e-6, rtol=0)
+
+
+@pytest.mark.parametrize("fmt,atol", [("int8", 2e-2), ("fp8", 2e-2)])
+def test_tri_quantized_vs_dequant_oracle(fmt, atol):
+    q, k, v = _mk((1, 4, 256, 128), (1, 1, 256, 128), jnp.bfloat16, seed=5)
+    qk, qv = quantize_kv(k, v, fmt)
+    out, _ = tri_flash_fwd(q, qk.values, qv.values, sm_scale=0.1, sub=128,
+                           k_scales=qk.scales, v_scales=qv.scales,
+                           interpret=True)
+    want = mha_reference(q.astype(jnp.float32), qk.dequantize(),
+                         qv.dequantize(), causal=True, sm_scale=0.1)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want), atol=atol, rtol=0)
+
+
+def test_auto_dispatch_routes_and_matches():
+    """flash_attention's default dispatch routes plain causal prefill to
+    the tri kernel (s >= 1024) and stays correct + differentiable."""
+    assert tri_eligible((2, 8, 2048, 128), 2, 2048, True, None, None, None,
+                        jnp.bfloat16)
+    assert not tri_eligible((2, 8, 2048, 128), 2, 2048, False, None, None,
+                            None, jnp.bfloat16)
+    assert not tri_eligible((2, 8, 2048, 128), 2, 1024, True, None, None,
+                            None, jnp.bfloat16)
+    q, k, v = _mk((1, 4, 1024, 64), (1, 2, 1024, 64), jnp.bfloat16, seed=7)
+    got = flash_attention(q, k, v, causal=True)
+    want = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32), causal=True)
+    assert float(np.max(np.abs(np.asarray(got, np.float32)
+                               - np.asarray(want)))) < 2e-2
+
+    def loss(q, k, v):
+        return flash_attention(q, k, v, causal=True).astype(
+            jnp.float32).sum()
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert dq.shape == q.shape and dk.shape == k.shape
+
+
+def test_forced_tri_config():
+    """kernel='tri' in an explicit config forces the tri path at any
+    (eligible-semantics) size."""
+    q, k, v = _mk((1, 2, 256, 64), (1, 2, 256, 64), jnp.float32, seed=9)
+    cfg = FlashConfig(kernel="tri", tri_sub=128, interpret=True)
+    got = flash_attention(q, k, v, causal=True, config=cfg)
+    want = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=0)

@@ -147,18 +147,23 @@ def test_packed_admission_matches_batched():
     rng = np.random.default_rng(23)
     prompts = [list(rng.integers(0, 256, size=n)) for n in (7, 130, 61)]
 
-    def run(packed):
+    def run(packed, bucket="page"):
         eng = InferenceEngine(CFG, params, num_pages=64, page_size=128,
                               max_seqs=4, pages_per_seq=4)
         reqs = [Request(p, max_new_tokens=5) for p in prompts]
         if packed:
-            eng.add_requests_packed(reqs)
+            eng.add_requests_packed(reqs, pack_bucket=bucket)
         else:
             eng.add_requests(reqs)
         eng.steps(4)
         return [eng.requests[r.slot].generated for r in reqs]
 
-    assert run(True) == run(False)
+    want = run(False)
+    assert run(True) == want
+    # pow2 bucketing (bounded compile variants) pads segments but must not
+    # change any token: pads sit after each prompt causally and their K/V
+    # never reach the cache
+    assert run(True, bucket="pow2") == want
 
 
 def test_chunked_overrun_at_table_capacity():

@@ -111,7 +111,8 @@ class InferenceEngine:
             self._record(slot, int(first_toks[i]))
         return slots
 
-    def add_requests_packed(self, reqs: List[Request]) -> List[int]:
+    def add_requests_packed(self, reqs: List[Request],
+                            pack_bucket: str = "page") -> List[int]:
         """Admits several requests with ONE PACKED prefill dispatch.
 
         Prompts pad to their own page-multiple bucket and concatenate into
@@ -119,12 +120,25 @@ class InferenceEngine:
         plus the STATIC pack offsets, which prune its work list to the
         block-diagonal — admission costs sum(L_i^2)/2 attention instead of
         add_requests' B * L_max^2 / 2, a win whenever prompt lengths
-        diverge. Cache writes land per-request from the packed K/V."""
+        diverge. Cache writes land per-request from the packed K/V.
+
+        COMPILE COST: segment_starts is static, so every distinct tuple of
+        pack offsets compiles its own prefill executable (worklist pruning
+        is what buys the FLOP savings). With pack_bucket="page" (exact,
+        default) a workload with highly variable prompt lengths can retrace
+        on nearly every admission batch; pack_bucket="pow2" instead rounds
+        each segment up to the next power-of-two page multiple, bounding
+        the number of distinct segment lengths to ~log2(max_len) at the
+        cost of up to 2x padded attention rows per prompt (the pad tokens'
+        K/V never enter the cache, and their worklist tiles stay pruned to
+        the segment diagonal). Use "pow2" for latency-sensitive serving
+        with long-tail prompt lengths."""
         from tiny_flash_attention_tpu.models.inference import (
             prefill_forward_packed)
 
         assert self.cfg.attn_window is None, \
             "packed admission + windowed ring cache: use add_requests"
+        assert pack_bucket in ("page", "pow2"), pack_bucket
         ps = self.page_size
         slots, offs, lpads = [], [], []
         off = 0
@@ -136,6 +150,8 @@ class InferenceEngine:
             slots.append(slot)
             offs.append(off)
             lpad = -(-len(req.prompt) // ps) * ps
+            if pack_bucket == "pow2":
+                lpad = ps * (1 << max(0, (lpad // ps - 1).bit_length()))
             lpads.append(lpad)
             off += lpad
         total = off
@@ -157,7 +173,11 @@ class InferenceEngine:
         first_toks = np.asarray(sample_tokens(logits[0, last], sub, temps))
 
         for i, (slot, req) in enumerate(zip(slots, reqs)):
-            o, lp = offs[i], lpads[i]
+            # cache write is page-exact regardless of the pack bucket: the
+            # bucket's extra pad pages are scheduling padding only and must
+            # not spill past the slot's allocated page list
+            o = offs[i]
+            lp = -(-len(req.prompt) // ps) * ps
             self.cache.write_prefill(slot, ks[:, 0, :, o:o + lp],
                                      vs[:, 0, :, o:o + lp])
             self.cache.lengths[slot] = len(req.prompt)

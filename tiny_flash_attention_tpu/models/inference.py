@@ -183,7 +183,10 @@ def decode_loop(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
             tokens = jnp.argmax(logits, -1).astype(jnp.int32)
         else:
             key, sub = jax.random.split(key)
-            tokens = sample_tokens(logits, sub, temps)
+            # per-row keys: the stream is a function of (key chain, slot),
+            # so data-parallel shards reproduce it exactly (serve.py)
+            tokens = sample_tokens_rowwise(
+                logits, sub, temps, jnp.arange(logits.shape[0]))
         return (pages, tokens, positions + 1, key), tokens
 
     (pages, _, _, key), sampled = jax.lax.scan(
@@ -223,4 +226,24 @@ def sample_tokens(logits: jax.Array, key: jax.Array,
     greedy = jnp.argmax(logits, axis=-1)
     scaled = logits / jnp.maximum(t, 1e-6)[..., None]
     sampled = jax.random.categorical(key, scaled, axis=-1)
+    return jnp.where(t <= 0.0, greedy, sampled).astype(jnp.int32)
+
+
+@jax.jit
+def sample_tokens_rowwise(logits: jax.Array, key: jax.Array,
+                          temperature: jax.Array,
+                          row_ids: jax.Array) -> jax.Array:
+    """sample_tokens with PER-ROW derived keys: row r samples with
+    fold_in(key, row_ids[r]), so the stream depends only on (key, global
+    slot id, logits) — invariant to how the batch is sharded. A
+    data-parallel group passing its global row ids reproduces exactly the
+    tokens the single-chip loop samples for those slots (tested in
+    test_serve_sharded)."""
+    t = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32),
+                         logits.shape[:-1])
+    greedy = jnp.argmax(logits, axis=-1)
+    scaled = logits / jnp.maximum(t, 1e-6)[..., None]
+    keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(row_ids)
+    sampled = jax.vmap(
+        lambda k, l: jax.random.categorical(k, l))(keys, scaled)
     return jnp.where(t <= 0.0, greedy, sampled).astype(jnp.int32)

@@ -41,6 +41,12 @@ class PagedKVCache:
     page_size: int
     fmt: str                        # "bf16" | "int8"
     alloc_counts: np.ndarray = None  # (max_seqs,) pages held per slot
+    # Data-parallel serving partitions BOTH slots and pages into n_groups
+    # contiguous blocks (group g owns slots [g*S/n, (g+1)*S/n) and page ids
+    # [g*P/n, (g+1)*P/n)): each data-parallel device group holds only its
+    # own page-pool shard, so a slot's pages must co-locate with it. 1 =
+    # the ordinary global pool.
+    n_groups: int = 1
 
     # --- construction ---------------------------------------------------
 
@@ -48,12 +54,14 @@ class PagedKVCache:
     def create(cls, *, n_layers: int, n_kv_heads: int, num_pages: int,
                page_size: int, d_head: int, max_seqs: int,
                pages_per_seq: int, fmt: str = "bf16",
-               dtype=jnp.bfloat16) -> "PagedKVCache":
+               dtype=jnp.bfloat16, n_groups: int = 1) -> "PagedKVCache":
         if fmt == "int8":
             assert page_size == d_head, "int8 fused pages need ps == d"
             rows, pdtype = 2 * page_size + 8, jnp.int8
         else:
             rows, pdtype = 2 * page_size, dtype
+        assert num_pages % n_groups == 0 and max_seqs % n_groups == 0, (
+            num_pages, max_seqs, n_groups)
         pages = [jnp.zeros((n_kv_heads, num_pages, rows, d_head), pdtype)
                  for _ in range(n_layers)]
         return cls(
@@ -64,6 +72,7 @@ class PagedKVCache:
             page_size=page_size,
             fmt=fmt,
             alloc_counts=np.zeros((max_seqs,), np.int32),
+            n_groups=n_groups,
         )
 
     @property
@@ -76,21 +85,48 @@ class PagedKVCache:
 
     # --- host-side allocator ---------------------------------------------
 
+    def group_of_slot(self, slot: int) -> int:
+        return slot // (self.max_seqs // self.n_groups)
+
+    def _group_free(self, group: int) -> List[int]:
+        """Indices into free_pages of ids belonging to `group`'s range."""
+        if self.n_groups == 1:
+            return list(range(len(self.free_pages)))
+        per = self.pages[0].shape[1] // self.n_groups
+        lo, hi = group * per, (group + 1) * per
+        return [i for i, p in enumerate(self.free_pages) if lo <= p < hi]
+
+    def _pop_page(self, group: int) -> int:
+        if self.n_groups == 1:
+            assert self.free_pages, "cache out of pages"
+            return self.free_pages.pop()
+        idx = self._group_free(group)
+        assert idx, f"cache out of pages in data group {group}"
+        return self.free_pages.pop(idx[-1])
+
     def alloc_slot(self, n_tokens_upper_bound: int) -> int:
         """Reserves a free sequence slot + enough pages for the bound.
 
         The slot is marked reserved immediately (lengths = -1, overwritten
         by the first real write) so several allocations in a row — batched
-        admission — get distinct slots.
+        admission — get distinct slots. With n_groups > 1, picks the first
+        free slot whose data group still has enough pages (slots and pages
+        co-locate per group).
         """
         free_slots = np.where(self.lengths == 0)[0]
         assert free_slots.size, "no free sequence slots"
-        slot = int(free_slots[0])
         n_pages = -(-n_tokens_upper_bound // self.page_size)
         assert n_pages <= self.pages_per_seq, (n_pages, self.pages_per_seq)
-        assert len(self.free_pages) >= n_pages, "cache out of pages"
+        slot = None
+        for cand in free_slots:
+            if len(self._group_free(self.group_of_slot(int(cand)))) \
+                    >= n_pages:
+                slot = int(cand)
+                break
+        assert slot is not None, "cache out of pages (in every data group)"
+        g = self.group_of_slot(slot)
         for i in range(n_pages):
-            self.page_table[slot, i] = self.free_pages.pop()
+            self.page_table[slot, i] = self._pop_page(g)
         self.alloc_counts[slot] = n_pages
         self.lengths[slot] = -1   # reserved; any real length overwrites
         return slot
@@ -100,9 +136,9 @@ class PagedKVCache:
         alloc_counts — page id 0 is a valid id)."""
         need = -(-n_tokens // self.page_size)
         cur = int(self.alloc_counts[slot])
+        g = self.group_of_slot(slot)
         for i in range(cur, need):
-            assert self.free_pages, "cache out of pages"
-            self.page_table[slot, i] = self.free_pages.pop()
+            self.page_table[slot, i] = self._pop_page(g)
             self.alloc_counts[slot] += 1
 
     def free_slot(self, slot: int) -> None:
@@ -181,7 +217,8 @@ class PagedKVCache:
             lengths=self.lengths,
             alloc_counts=self.alloc_counts,
             free_pages=np.asarray(self.free_pages, np.int32),
-            meta=np.asarray([self.page_size, len(self.pages)], np.int32),
+            meta=np.asarray([self.page_size, len(self.pages),
+                             self.n_groups], np.int32),
             fmt=np.asarray(self.fmt),
             pages_dtype=np.asarray(str(np.asarray(self.pages[0]).dtype)),
             **arrays,
@@ -191,7 +228,9 @@ class PagedKVCache:
     def load(cls, path: str) -> "PagedKVCache":
         """Restores a cache saved with `save` (pages land on device)."""
         z = np.load(path, allow_pickle=False)
-        page_size, n_layers = (int(x) for x in z["meta"])
+        meta = [int(x) for x in z["meta"]]
+        page_size, n_layers = meta[0], meta[1]
+        n_groups = meta[2] if len(meta) > 2 else 1
         pdtype = np.dtype(str(z["pages_dtype"]))
         return cls(
             pages=[jnp.asarray(z[f"pages_{i}"].view(pdtype))
@@ -202,6 +241,7 @@ class PagedKVCache:
             page_size=page_size,
             fmt=str(z["fmt"]),
             alloc_counts=z["alloc_counts"].copy(),
+            n_groups=n_groups,
         )
 
 

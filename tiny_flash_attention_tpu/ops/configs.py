@@ -46,6 +46,17 @@ class FlashConfig:
     # "parallel" so megacores can split batch/head/q blocks.
     use_dimension_semantics: bool = True
     interpret: bool = False
+    # Kernel family: "worklist" = the scalar-prefetched work-list grid
+    # (ops/flash.py); "tri" = the one-shot triangle-decomposition kernel
+    # (ops/flash_tri.py — causal, q_len == kv_len, VMEM-resident); "auto"
+    # = tri when eligible, else worklist. Explicitly constructed configs
+    # default to "worklist" so geometry sweeps measure what they name;
+    # default_config() dispatches "auto".
+    kernel: str = "worklist"
+    # Column-chunk width for the tri kernel's sweep: scheduled/valid
+    # efficiency is 1/(1 + tri_sub/S); smaller chunks waste less but emit
+    # more (smaller) dots.
+    tri_sub: int = 128
 
     def __post_init__(self):
         assert self.block_q % LANES == 0, self.block_q
@@ -99,7 +110,7 @@ def default_config(dtype, head_dim: int, q_len: int, kv_len: int,
     block_q = min(cfg.block_q, _round_up(q_len, LANES))
     block_kv = min(cfg.block_kv, _round_up(kv_len, LANES))
     return dataclasses.replace(cfg, block_q=block_q, block_kv=block_kv,
-                               interpret=interpret)
+                               interpret=interpret, kernel="auto")
 
 
 def _round_up(x: int, m: int) -> int:

@@ -62,8 +62,12 @@ def _payload_to_compute(x, dtype):
     fp8-e4m3 -> bf16 is rebuilt with integer bit surgery (sign<<8, mantissa
     <<4, exponent rebias +120) instead of the generic float convert, which
     lowers much wider on the VPU. Zero is special-cased exactly; fp8
-    denormals land slightly high (< 2^-6 * 40%), far below the fp8
-    quantization noise itself. Other payloads use the native convert.
+    denormals land slightly high (worst case code 0x01 -> 0.0068, i.e.
+    7/16 * 2^-7 = 43.75% above the exact 2^-9), far below the fp8
+    quantization noise itself. e4m3fn NaN codes (0x7F/0xFF) map to +/-480
+    rather than propagating NaN — the quantizer never emits them, so this
+    only matters for externally produced payloads. Other payloads use the
+    native convert.
     """
     if x.dtype == dtype:
         return x
@@ -374,6 +378,26 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
     assert dk == d and v.shape == k.shape, (q.shape, k.shape, v.shape)
     quantized = k_scales is not None
     group = hq // hkv
+
+    # Kernel-family dispatch: the one-shot triangle kernel owns the plain
+    # causal prefill regime (see flash_tri.py header for the measured
+    # factorization it removes); everything else runs the work-list grid.
+    choice = getattr(config, "kernel", "worklist")
+    if choice in ("auto", "tri"):
+        from tiny_flash_attention_tpu.ops import flash_tri
+        forced = choice == "tri"
+        if forced:
+            assert causal and q_len == kv_len and window is None \
+                and segment_ids is None and segment_starts is None, \
+                "kernel='tri' covers plain causal q_len == kv_len only"
+        if forced or flash_tri.tri_eligible(
+                q.shape, hkv, kv_len, causal, window, segment_ids,
+                segment_starts, q.dtype):
+            return flash_tri.tri_flash_fwd(
+                q, k, v, sm_scale=sm_scale,
+                sub=getattr(config, "tri_sub", 128),
+                k_scales=k_scales, v_scales=v_scales,
+                interpret=config.interpret)
     # Keep the folded q tile (group*block_q rows) near the configured size.
     block_q = max(LANES, _round_up(config.block_q // group, LANES))
     block_q = min(block_q, _round_up(q_len, LANES))

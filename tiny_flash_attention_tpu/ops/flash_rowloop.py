@@ -95,11 +95,16 @@ def _rowloop_kernel(
     mid_lo = jnp.minimum(li, hi)
     mid_hi = jnp.clip(n_int, mid_lo, hi)
 
-    # --- mask geometry tables (once per CORE: persist across grid steps;
-    # the q-row dim is 'arbitrary' so step (0,0,0) runs first) -------------
+    # --- mask geometry tables (built at qi == 0 for EVERY (b, h): b/h are
+    # 'parallel' dims, so on megacore TPUs (v4/v5p) the grid can split
+    # across cores and a core whose slice excludes (b=0, h=0) would never
+    # run a (0, 0, *) step — guarding on b/h would leave its tables
+    # uninitialized. qi is the sequential 'arbitrary' dim, so qi == 0 runs
+    # on every core before any qi > 0 step of the same (b, h); the rebuild
+    # per (b, h) is two iota passes, negligible. ---------------------------
     needs_mask = causal or window is not None or kv_len % chunk
     if needs_mask:
-        @pl.when((b == 0) & (h == 0) & (qi == 0))
+        @pl.when(qi == 0)
         def _tables():
             ci = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 1)
             r = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 0)

@@ -15,10 +15,26 @@ from tests.test_paged import build_paged_cache, oracle_decode
 
 def test_scale_row_packing_roundtrip():
     s = jnp.arange(128, dtype=jnp.float32) * 0.37 + 0.01
-    packed = _pack_scale_rows(s)  # (4, 128) int8
+    packed = _pack_scale_rows(s, 128)  # (4, 128) int8
     unpacked = jax.lax.bitcast_convert_type(
         jnp.swapaxes(packed, -1, -2), jnp.float32)
     assert np.allclose(np.asarray(unpacked), np.asarray(s))
+
+
+def test_scale_row_packing_roundtrip_general_geometry():
+    """ps < d pads lanes; ps a multiple of d uses one 4-row group per d
+    tokens — byte j of token i at [4*(i//d) + j, i % d]."""
+    for ps, d in [(64, 128), (256, 128)]:
+        s = jnp.arange(ps, dtype=jnp.float32) * 0.11 + 0.5
+        packed = _pack_scale_rows(s, d)
+        assert packed.shape == (4 * max(1, ps // d), d)
+        got = np.zeros(ps, np.float32)
+        pb = np.asarray(packed).astype(np.int8)
+        for i in range(ps):
+            raw = bytes(int(pb[4 * (i // d) + j, i % d]) & 0xFF
+                        for j in range(4))
+            got[i] = np.frombuffer(raw, np.float32)[0]
+        assert np.allclose(got, np.asarray(s))
 
 
 def test_fused_bf16_decode():
@@ -113,3 +129,81 @@ def test_fused_decode_window():
         np.testing.assert_allclose(
             np.asarray(got[b], np.float32), np.asarray(want), rtol=0,
             atol=2e-2)
+
+
+def test_fused_int8_decode_general_page_geometry():
+    """The widened int8 page format (VERDICT r2 item 9): page_size below
+    head_dim (64-token pages x d=128) and a multiple of it (256 x 128)
+    decode correctly against the dequantized-cache oracle."""
+    import pytest
+
+    for ps in (64, 256):
+        batch, hkv, hq, d, pps = 2, 2, 4, 128, 4
+        lengths = [ps + 7, 2 * ps]
+        k_full, v_full, k_pages, v_pages, page_indices = build_paged_cache(
+            jax.random.key(11), batch, hkv, lengths, d, pps, page=ps)
+        fused = pack_paged_cache(k_pages, v_pages, "int8")
+        sr = 4 * max(1, ps // d)
+        assert fused.shape[2] == 2 * ps + 2 * sr
+        q = jax.random.normal(jax.random.key(12), (batch, hq, d),
+                              jnp.float32)
+        out, _ = fused_paged_decode_attention(
+            q, fused, jnp.asarray(lengths, jnp.int32), page_indices,
+            page_size=ps, pages_per_block=2)
+        # oracle on the dequantized pages (per-token int8 noise folded in)
+        kq = jax.vmap(jax.vmap(quantize_kv_page_int8))(k_pages, v_pages)
+        kvals = kq[:, :, :ps].astype(jnp.float32)
+        vvals = kq[:, :, ps:2 * ps].astype(jnp.float32)
+
+        def unpack(rows_):   # (hkv, np, sr, d) -> (hkv, np, ps)
+            gs = [jax.lax.bitcast_convert_type(
+                jnp.swapaxes(rows_[:, :, 4 * g:4 * (g + 1)], -1, -2),
+                jnp.float32) for g in range(sr // 4)]
+            sc = gs[0] if len(gs) == 1 else jnp.concatenate(gs, axis=2)
+            return sc[:, :, :ps]
+
+        kd = kvals * unpack(kq[:, :, 2 * ps:2 * ps + sr])[..., None]
+        vd = vvals * unpack(kq[:, :, 2 * ps + sr:2 * ps + 2 * sr])[..., None]
+        k_gather = jnp.stack([
+            jnp.concatenate([kd[:, page_indices[b, pi]]
+                             for pi in range(pps)], axis=1)
+            for b in range(batch)])
+        v_gather = jnp.stack([
+            jnp.concatenate([vd[:, page_indices[b, pi]]
+                             for pi in range(pps)], axis=1)
+            for b in range(batch)])
+        k_rep = jnp.repeat(k_gather, hq // hkv, axis=1)
+        v_rep = jnp.repeat(v_gather, hq // hkv, axis=1)
+        want = oracle_decode(q, k_rep, v_rep, lengths)
+        assert_close(out, want, atol=1e-4, name=f"fused int8 ps={ps}")
+
+    # the one rejected geometry: ps > d with ps % d != 0
+    with pytest.raises(AssertionError):
+        from tiny_flash_attention_tpu.ops.paged_fused import (
+            scale_rows_per_side)
+        scale_rows_per_side(192, 128)
+
+
+def test_engine_int8_small_pages():
+    """End-to-end engine decode with 64-token int8 pages x d=128 (the
+    config the old format rejected) matches the bf16-page engine's greedy
+    tokens."""
+    from tests.test_model import CFG, make_params
+    from tiny_flash_attention_tpu.models.engine import (
+        InferenceEngine, Request)
+
+    params = make_params()
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(0, 256, size=n)) for n in (9, 70)]
+
+    def run(fmt):
+        eng = InferenceEngine(CFG, params, num_pages=64, page_size=64,
+                              max_seqs=2, pages_per_seq=8, kv_format=fmt)
+        reqs = [Request(p, max_new_tokens=5) for p in prompts]
+        eng.add_requests(reqs)
+        eng.steps(4)
+        return [eng.requests[r.slot].generated for r in reqs]
+
+    # int8 KV noise may flip a greedy token in principle; in this tiny
+    # model it does not — exact match doubles as a packing regression test
+    assert run("int8") == run("bf16")

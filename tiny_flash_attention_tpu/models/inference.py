@@ -200,15 +200,20 @@ def _append_rows(pages, k_new, v_new, page_ids, rows, *, page_size, fmt):
     k_new = jnp.swapaxes(k_new, 0, 1)    # (hkv, B, d)
     v_new = jnp.swapaxes(v_new, 0, 1)
     if fmt == "int8":
+        d = pages.shape[-1]
+        sr = 4 * max(1, ps // d)   # scale rows per side (paged_fused doc)
         kq, ks = _quant_rows(k_new)
         vq, vs = _quant_rows(v_new)
         ksb = jax.lax.bitcast_convert_type(ks, jnp.int8)   # (hkv, B, 4)
         vsb = jax.lax.bitcast_convert_type(vs, jnp.int8)
         pages = pages.at[:, page_ids, rows, :].set(kq)
         pages = pages.at[:, page_ids, ps + rows, :].set(vq)
+        srow = 4 * (rows // d)
+        lane = rows % d
         for j in range(4):
-            pages = pages.at[:, page_ids, 2 * ps + j, rows].set(ksb[..., j])
-            pages = pages.at[:, page_ids, 2 * ps + 4 + j, rows].set(
+            pages = pages.at[:, page_ids, 2 * ps + srow + j, lane].set(
+                ksb[..., j])
+            pages = pages.at[:, page_ids, 2 * ps + sr + srow + j, lane].set(
                 vsb[..., j])
         return pages
     pages = pages.at[:, page_ids, rows, :].set(k_new.astype(pages.dtype))

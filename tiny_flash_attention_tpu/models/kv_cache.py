@@ -56,8 +56,11 @@ class PagedKVCache:
                pages_per_seq: int, fmt: str = "bf16",
                dtype=jnp.bfloat16, n_groups: int = 1) -> "PagedKVCache":
         if fmt == "int8":
-            assert page_size == d_head, "int8 fused pages need ps == d"
-            rows, pdtype = 2 * page_size + 8, jnp.int8
+            from tiny_flash_attention_tpu.ops.paged_fused import (
+                scale_rows_per_side)
+            rows = 2 * page_size + 2 * scale_rows_per_side(page_size,
+                                                           d_head)
+            pdtype = jnp.int8
         else:
             rows, pdtype = 2 * page_size, dtype
         assert num_pages % n_groups == 0 and max_seqs % n_groups == 0, (
@@ -266,11 +269,13 @@ def _write_prefill_layer(pages, k, v, page_ids, *, page_size, fmt):
     kp = k.reshape(hkv, n, page_size, d)
     vp = v.reshape(hkv, n, page_size, d)
     if fmt == "int8":
+        from tiny_flash_attention_tpu.ops.paged_fused import (
+            _pack_scale_rows)
         kq, ks = _quant_rows(kp)
         vq, vs = _quant_rows(vp)
-        ksb = jnp.swapaxes(jax.lax.bitcast_convert_type(ks, jnp.int8), -1, -2)
-        vsb = jnp.swapaxes(jax.lax.bitcast_convert_type(vs, jnp.int8), -1, -2)
-        fused = jnp.concatenate([kq, vq, ksb, vsb], axis=-2)
+        fused = jnp.concatenate(
+            [kq, vq, _pack_scale_rows(ks, d), _pack_scale_rows(vs, d)],
+            axis=-2)
     else:
         fused = jnp.concatenate([kp, vp], axis=-2).astype(pages.dtype)
     # scatter pages: (hkv, n, rows, d) into pages[:, page_ids]
@@ -284,6 +289,8 @@ def _append_layer(pages, k_new, v_new, page_ids, rows, *, page_size, fmt):
     ps = page_size
 
     if fmt == "int8":
+        d = pages.shape[-1]
+        sr = 4 * max(1, ps // d)   # scale rows per side (paged_fused doc)
         kq, ks = _quant_rows(k_new)           # (hkv, B, d), (hkv, B)
         vq, vs = _quant_rows(v_new)
         ksb = jax.lax.bitcast_convert_type(ks, jnp.int8)   # (hkv, B, 4)
@@ -291,10 +298,14 @@ def _append_layer(pages, k_new, v_new, page_ids, rows, *, page_size, fmt):
         # payload rows
         pages = pages.at[:, page_ids, rows, :].set(kq)
         pages = pages.at[:, page_ids, ps + rows, :].set(vq)
-        # scale bytes: rows 2ps+j (K) and 2ps+4+j (V), lane = token row
+        # scale bytes: byte j of token row r at [2ps + 4*(r//d) + j, r%d]
+        # (K side; V offset by sr) — the paged_fused packed-scale layout
+        srow = 4 * (rows // d)
+        lane = rows % d
         for j in range(4):
-            pages = pages.at[:, page_ids, 2 * ps + j, rows].set(ksb[..., j])
-            pages = pages.at[:, page_ids, 2 * ps + 4 + j, rows].set(
+            pages = pages.at[:, page_ids, 2 * ps + srow + j, lane].set(
+                ksb[..., j])
+            pages = pages.at[:, page_ids, 2 * ps + sr + srow + j, lane].set(
                 vsb[..., j])
         return pages
     pages = pages.at[:, page_ids, rows, :].set(k_new.astype(pages.dtype))

@@ -18,8 +18,14 @@ layout is produced by `pack_kv_page` below and verified on hardware.
 Kernel structure (grid, double buffering, online softmax) matches
 ops/paged.py; see its docstring for the design citations. Scales fold into
 per-page K dots / V accumulates, so no sublane->lane scale reassembly exists
-anywhere. Requires page_size == head_dim for the int8 format (the scale row
-of ps floats must occupy exactly 4 payload rows of d lanes).
+anywhere.
+
+int8 page geometry: each side's ps per-token f32 scales bit-pack into
+`scale_rows_per_side(ps, d) = 4 * ceil(ps/d)` int8 rows of d lanes —
+4 rows lane-padded when ps < d, one 4-row group per d tokens when ps is a
+multiple of d. The only rejected geometry is ps > d with ps % d != 0
+(a scale group would straddle a row boundary); use ops/paged.py's
+separate-array layout there.
 """
 
 from __future__ import annotations
@@ -67,16 +73,40 @@ def pack_kv_page_bf16(k_page: jax.Array, v_page: jax.Array) -> jax.Array:
     return jnp.concatenate([k_page, v_page], axis=-2)
 
 
-def _pack_scale_rows(scales: jax.Array) -> jax.Array:
-    """(..., ps) f32 -> (..., 4, ps) int8: byte j of token i at [j, i]."""
-    bytes_ = jax.lax.bitcast_convert_type(scales, jnp.int8)  # (..., ps, 4)
-    return jnp.swapaxes(bytes_, -1, -2)
+def scale_rows_per_side(page_size: int, d: int) -> int:
+    """int8 rows holding one side's per-token f32 scales (see module doc)."""
+    if page_size <= d:
+        return 4
+    assert page_size % d == 0, (
+        f"int8 fused pages need page_size <= head_dim or a multiple of it "
+        f"({page_size}, {d}); use ops/paged.py otherwise")
+    return 4 * (page_size // d)
+
+
+def _pack_scale_rows(scales: jax.Array, d: int) -> jax.Array:
+    """(..., ps) f32 -> (..., scale_rows_per_side(ps, d), d) int8.
+
+    byte j of token i lands at [4*(i//d) + j, i % d]."""
+    ps = scales.shape[-1]
+    lead = scales.shape[:-1]
+    if ps <= d:
+        b = jax.lax.bitcast_convert_type(scales, jnp.int8)   # (..., ps, 4)
+        b = jnp.swapaxes(b, -1, -2)                          # (..., 4, ps)
+        if ps < d:
+            pad = [(0, 0)] * (b.ndim - 1) + [(0, d - ps)]
+            b = jnp.pad(b, pad)
+        return b
+    groups = ps // d
+    g = scales.reshape(*lead, groups, d)
+    b = jax.lax.bitcast_convert_type(g, jnp.int8)            # (..., g, d, 4)
+    b = jnp.swapaxes(b, -1, -2)                              # (..., g, 4, d)
+    return b.reshape(*lead, 4 * groups, d)
 
 
 def quantize_kv_page_int8(k_page: jax.Array, v_page: jax.Array) -> jax.Array:
-    """(ps, d) x2 float -> (2ps+8, d) int8 fused page with per-token scales."""
+    """(ps, d) x2 float -> (2ps + 2*scale_rows, d) int8 fused page."""
     ps, d = k_page.shape[-2:]
-    assert ps == d, f"int8 fused pages need page_size == head_dim ({ps}, {d})"
+    scale_rows_per_side(ps, d)   # validate the geometry
 
     def q(x):
         amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
@@ -88,7 +118,7 @@ def quantize_kv_page_int8(k_page: jax.Array, v_page: jax.Array) -> jax.Array:
     kq, ks = q(k_page)
     vq, vs = q(v_page)
     return jnp.concatenate(
-        [kq, vq, _pack_scale_rows(ks), _pack_scale_rows(vs)], axis=-2)
+        [kq, vq, _pack_scale_rows(ks, d), _pack_scale_rows(vs, d)], axis=-2)
 
 
 def pack_paged_cache(k_pages: jax.Array, v_pages: jax.Array,
@@ -187,13 +217,24 @@ def _fused_decode_kernel(
         q = q_ref[0, 0]                                     # (G, d)
         q = (q * jnp.asarray(sm_scale * _LOG2E, q.dtype)).astype(q.dtype)
 
+        d_lane = q_ref.shape[-1]
+        sr = 4 * max(1, ps // d_lane)   # scale rows per side
+
+        def unpack_scales(block):
+            """(sr, d) int8 scale rows -> (1, ps) f32 per-token scales."""
+            parts = [pltpu.bitcast(block[4 * g:4 * (g + 1)], jnp.float32)
+                     for g in range(sr // 4)]
+            sc = parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=1)
+            return sc[:, :ps] if ps < d_lane else sc
+
         if quantized:
             # per-page dots with the scale folded into the score columns
             s_parts = []
             for p in range(pages_per_block):
                 kp = buf[slot, p, :ps].astype(q_ref.dtype)  # (ps, d)
-                kscale = pltpu.bitcast(
-                    buf[slot, p, 2 * ps:2 * ps + 4], jnp.float32)  # (1, ps)
+                kscale = unpack_scales(
+                    buf[slot, p, 2 * ps:2 * ps + sr])       # (1, ps)
                 sp = jax.lax.dot_general(
                     q, kp, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -224,8 +265,8 @@ def _fused_decode_kernel(
             pv = jnp.zeros_like(acc_scr)
             for p in range(pages_per_block):
                 vp = buf[slot, p, ps:2 * ps].astype(q_ref.dtype)
-                vscale = pltpu.bitcast(
-                    buf[slot, p, 2 * ps + 4:2 * ps + 8], jnp.float32)
+                vscale = unpack_scales(
+                    buf[slot, p, 2 * ps + sr:2 * ps + 2 * sr])
                 pcol = p_[:, p * ps:(p + 1) * ps] * vscale
                 pv += jax.lax.dot_general(
                     pcol.astype(q_ref.dtype), vp, (((1,), (0,)), ((), ())),
@@ -278,7 +319,8 @@ def fused_paged_decode_attention(
     batch, hq, d = q.shape
     hkv, num_pages, rows, _ = fused_pages.shape
     quantized = fused_pages.dtype == jnp.int8
-    expect_rows = 2 * page_size + (8 if quantized else 0)
+    expect_rows = 2 * page_size + (
+        2 * scale_rows_per_side(page_size, d) if quantized else 0)
     assert rows == expect_rows, (rows, expect_rows)
     assert hq % hkv == 0
     group = hq // hkv

@@ -41,16 +41,21 @@ def main():
     v = jax.random.normal(kv, (BS, HKV, SEQ, DIM), jnp.bfloat16)
 
     flash = jax.jit(functools.partial(flash_attention, causal=True))
-    r_flash = run_benchmark(flash, q, k, v, rounds=6)
+    r_flash = run_benchmark(flash, q, k, v, rounds=8)
     r_naive = run_benchmark(jax.jit(naive_attention), q, k, v, rounds=6)
 
     flops = attention_flops(BS, HQ, SEQ, SEQ, DIM, causal=True)
-    tflops = flops / (r_flash["min_ms"] / 1e3) / 1e12
+    # median-of-N with spread: the relay wobbles +-5% run to run, so the
+    # median is the quoted number and best/spread are recorded alongside
+    # (round-2 verdict item 4 — one source of truth, spread attached)
+    tflops = flops / (r_flash["median_ms"] / 1e3) / 1e12
     print(json.dumps({
         "metric": "flash_attn_fwd_bf16_gqa_causal_s2048_d128_tflops_per_chip",
         "value": round(tflops, 2),
+        "best": round(flops / (r_flash["min_ms"] / 1e3) / 1e12, 2),
+        "spread": round(r_flash["spread"], 3),
         "unit": "TFLOPs/s",
-        "vs_baseline": round(r_naive["min_ms"] / r_flash["min_ms"], 3),
+        "vs_baseline": round(r_naive["median_ms"] / r_flash["median_ms"], 3),
     }))
 
 

@@ -182,6 +182,9 @@ def main():
     # larger: s4096
     bench_fwd("bf16_gqa_causal_s4096_d128_tflops", 1, 8, 2, 4096, 128,
               jnp.bfloat16, True)
+    # non-causal ceiling at the headline shape (whole-sequence row fold)
+    bench_fwd("noncausal_bf16_gqa_s2048_d128_tflops", 2, 8, 2, 2048, 128,
+              jnp.bfloat16, False)
     # config 2: paged decode
     bench_paged_decode("bf16")
     bench_paged_decode("int8")

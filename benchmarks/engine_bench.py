@@ -29,15 +29,17 @@ def _fence_ms(eng):
 
 
 def bench_engine(kv_format: str, *, batch=8, prompt_len=512,
-                 decode_steps=256, weight_format=None, tag_extra=""):
+                 decode_steps=256, weight_format=None, tag_extra="",
+                 pages_per_seq=32):
     cfg = T.ModelConfig(
         vocab_size=32768, d_model=1024, n_layers=4, n_q_heads=8,
         n_kv_heads=2, d_head=128, d_ff=4096, dtype=jnp.bfloat16)
     params = T.init_params(cfg, jax.random.key(0))
     if weight_format:
         params = T.quantize_params(params, weight_format)
-    eng = InferenceEngine(cfg, params, num_pages=512, page_size=128,
-                          max_seqs=batch, pages_per_seq=32,
+    eng = InferenceEngine(cfg, params, num_pages=batch * pages_per_seq + 8,
+                          page_size=128, max_seqs=batch,
+                          pages_per_seq=pages_per_seq,
                           kv_format=kv_format)
     rng = np.random.default_rng(0)
     chunk = 128
@@ -45,7 +47,7 @@ def bench_engine(kv_format: str, *, batch=8, prompt_len=512,
     # budget exactly the timed chunks (+warmup steps) so admission stays
     # within page-table capacity at long prompts
     budget = min(n_chunks * chunk + 32,
-                 32 * 128 - prompt_len)   # page-table capacity bound
+                 pages_per_seq * 128 - prompt_len)   # page-table capacity
     for _ in range(batch):
         prompt = rng.integers(0, cfg.vocab_size, prompt_len).tolist()
         eng.add_request(Request(prompt, max_new_tokens=budget))
@@ -202,5 +204,25 @@ if __name__ == "__main__":
     print(json.dumps({
         "metric": "engine_bf16_vs_stock_dense_decode_s3584",
         "value": round(bf16_l / stock_l, 3),
+        "unit": "x",
+    }))
+    # North-star regime (BASELINE config 2): seqlen-8k decode, INT8 paged
+    # KV. The dense yardstick preallocates batch x 8k+ and reads the full
+    # width every step; the paged engine gathers only live pages and (int8)
+    # half the bytes.
+    stock_8k = bench_stock_dense(prompt_len=7936, decode_steps=128,
+                                 tag_extra="_s8k")
+    bf16_8k = bench_engine("bf16", prompt_len=7936, decode_steps=128,
+                           tag_extra="_s8k", pages_per_seq=64)
+    int8_8k = bench_engine("int8", prompt_len=7936, decode_steps=128,
+                           tag_extra="_s8k", pages_per_seq=64)
+    print(json.dumps({
+        "metric": "engine_bf16_vs_stock_dense_decode_s8k",
+        "value": round(bf16_8k / stock_8k, 3),
+        "unit": "x",
+    }))
+    print(json.dumps({
+        "metric": "engine_int8_vs_stock_dense_decode_s8k",
+        "value": round(int8_8k / stock_8k, 3),
         "unit": "x",
     }))

@@ -147,23 +147,27 @@ def test_packed_admission_matches_batched():
     rng = np.random.default_rng(23)
     prompts = [list(rng.integers(0, 256, size=n)) for n in (7, 130, 61)]
 
-    def run(packed, bucket="page"):
+    def run(mode, bucket="page"):
         eng = InferenceEngine(CFG, params, num_pages=64, page_size=128,
                               max_seqs=4, pages_per_seq=4)
         reqs = [Request(p, max_new_tokens=5) for p in prompts]
-        if packed:
+        if mode == "packed":
             eng.add_requests_packed(reqs, pack_bucket=bucket)
+        elif mode == "jagged":
+            eng.add_requests_jagged(reqs)
         else:
             eng.add_requests(reqs)
         eng.steps(4)
         return [eng.requests[r.slot].generated for r in reqs]
 
-    want = run(False)
-    assert run(True) == want
+    want = run("batched")
+    assert run("packed") == want
     # pow2 bucketing (bounded compile variants) pads segments but must not
     # change any token: pads sit after each prompt causally and their K/V
     # never reach the cache
-    assert run(True, bucket="pow2") == want
+    assert run("packed", bucket="pow2") == want
+    # jagged (row-loop, runtime lengths) admission: same tokens again
+    assert run("jagged") == want
 
 
 def test_chunked_overrun_at_table_capacity():

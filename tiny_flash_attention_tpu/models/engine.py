@@ -185,6 +185,53 @@ class InferenceEngine:
             self._record(slot, int(first_toks[i]))
         return slots
 
+    def add_requests_jagged(self, reqs: List[Request]) -> List[int]:
+        """Admits a heterogeneous batch via the ROW-LOOP kernel.
+
+        The third admission mode (vs add_requests' padded batch and
+        add_requests_packed's packed row): prompts pad to the longest
+        request's page bucket like add_requests, but attention cost clamps
+        to each request's RUNTIME length (~sum(L_i^2)/2, like packed) and
+        the compiled executable depends only on the (B, L_pad) bucket —
+        no retrace per length mix. The right mode when prompt lengths
+        diverge AND vary batch to batch (the packed path's retrace cost
+        note)."""
+        from tiny_flash_attention_tpu.models.inference import (
+            prefill_forward_jagged)
+
+        assert self.cfg.attn_window is None, \
+            "jagged admission + windowed ring cache: use add_requests"
+        ps = self.page_size
+        slots = []
+        for req in reqs:
+            slot = self.cache.alloc_slot(len(req.prompt)
+                                         + req.max_new_tokens)
+            req.slot = slot
+            self.requests[slot] = req
+            slots.append(slot)
+        L_max = max(len(r.prompt) for r in reqs)
+        L_pad = -(-L_max // ps) * ps
+        toks = np.zeros((len(reqs), L_pad), np.int32)
+        for i, req in enumerate(reqs):
+            toks[i, :len(req.prompt)] = req.prompt
+        lens = jnp.asarray([len(r.prompt) for r in reqs], jnp.int32)
+        logits, ks, vs = prefill_forward_jagged(
+            self.cfg, self.params, jnp.asarray(toks), lens)
+        self.key, sub = jax.random.split(self.key)
+        temps = jnp.asarray([r.temperature for r in reqs], jnp.float32)
+        last = jnp.asarray([len(r.prompt) - 1 for r in reqs])
+        first_toks = np.asarray(sample_tokens(
+            logits[jnp.arange(len(reqs)), last], sub, temps))
+
+        for i, (slot, req) in enumerate(zip(slots, reqs)):
+            lp = -(-len(req.prompt) // ps) * ps
+            self.cache.write_prefill(slot, ks[:, i, :, :lp],
+                                     vs[:, i, :, :lp])
+            self.cache.lengths[slot] = len(req.prompt)
+            self.temps[slot] = req.temperature
+            self._record(slot, int(first_toks[i]))
+        return slots
+
     # --- decode ------------------------------------------------------------
 
     def step(self) -> Dict[int, int]:

@@ -80,6 +80,42 @@ def prefill_forward_packed(cfg: T.ModelConfig, params: dict,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill_forward_jagged(cfg: T.ModelConfig, params: dict,
+                           tokens: jax.Array, seq_lengths: jax.Array):
+    """Heterogeneous admission batch WITHOUT packing: tokens (B, L_pad)
+    right-padded per request, seq_lengths (B,) RUNTIME lengths.
+
+    Attention runs the row-loop kernel (ops/flash_rowloop.py) whose
+    dynamic KV trip count clamps to each row's length — cost is
+    ~sum(L_i^2)/2 like packed admission, but lengths are runtime values:
+    ONE compiled executable per (B, L_pad) bucket serves every length
+    mix, where prefill_forward_packed retraces per pack pattern (its
+    compile-cost note). Returns (logits (B, L_pad, V), ks, vs); rows
+    beyond a request's length are garbage to slice off.
+    """
+    from tiny_flash_attention_tpu.ops.flash_rowloop import (
+        flash_attention_rowloop)
+
+    b, s = tokens.shape
+    positions = jnp.arange(s, dtype=jnp.int32)
+    x = params["embed"][tokens].astype(cfg.dtype)
+
+    def body(x, layer):
+        q, k, v = T.qkv_proj(cfg, layer, x, positions)
+        o, _ = flash_attention_rowloop(q, k, v, causal=True,
+                                       seq_lengths=seq_lengths)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_q_heads * cfg.d_head)
+        x = x + T._proj(o, layer["wo"])
+        x = T.mlp_block(cfg, layer, x)
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(body, x, params["layers"])
+    x = T.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = T._proj(x, params["lm_head"]).astype(jnp.float32)
+    return logits, ks, vs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def prefill_forward(cfg: T.ModelConfig, params: dict, tokens: jax.Array):
     """tokens (1, L) -> (logits (1, L, V), k_layers, v_layers).
 

@@ -51,9 +51,7 @@ _LN2 = math.log(2.0)
 
 
 def _rowloop_kernel(
-    q_ref, k_hbm, v_hbm, o_ref, lse_ref,
-    k_buf, v_buf, k_sems, v_sems, m_scr, l_scr, acc_scr, diff_scr, rmod_scr,
-    *,
+    q_ref, k_hbm, v_hbm, *refs,
     causal: bool,
     sm_scale: float,
     block_q: int,
@@ -64,21 +62,36 @@ def _rowloop_kernel(
     kv_len: int,
     window,
     single_loop: bool,
+    jagged: bool = False,
 ):
+    refs = list(refs)
+    len_ref = None
+    if jagged:
+        len_ref = refs.pop(0)
+    (o_ref, lse_ref, k_buf, v_buf, k_sems, v_sems, m_scr, l_scr, acc_scr,
+     diff_scr, rmod_scr) = refs
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     rows = group * block_q
     offset = kv_len - q_len
     sub = chunk // unroll
     d_rep = acc_scr.shape[-1] // LANES
 
-    # --- visible-chunk bounds (dynamic, from the grid's qi scalar) --------
+    # --- visible-chunk bounds (dynamic, from the grid's qi scalar; with
+    # jagged lengths additionally clamped by THIS row's sequence length —
+    # each batch row is an independent causal problem of its own length,
+    # so a short request in a long-padded batch costs ~L^2/2, not
+    # L_max^2/2) -----------------------------------------------------------
     first_pos = qi * block_q + offset            # first row's position
     last_pos = first_pos + block_q - 1           # last row's position
     n_kv_chunks = pl.cdiv(kv_len, chunk)         # static-shaped scalar
+    L = len_ref[b] if jagged else None
     if causal:
-        hi = jnp.clip(last_pos // chunk + 1, 1, n_kv_chunks)
+        eff_last = last_pos if not jagged else jnp.minimum(last_pos, L - 1)
+        hi = jnp.clip(eff_last // chunk + 1, 1, n_kv_chunks)
         # interior = fully valid for EVERY row (col limit = first row's)
-        n_int = jnp.clip((first_pos + 1) // chunk, 0, hi)
+        eff_first = (first_pos if not jagged
+                     else jnp.minimum(first_pos, L - 1))
+        n_int = jnp.clip((eff_first + 1) // chunk, 0, hi)
     else:
         hi = n_kv_chunks
         n_int = jnp.asarray(kv_len // chunk, jnp.int32)
@@ -102,7 +115,7 @@ def _rowloop_kernel(
     # uninitialized. qi is the sequential 'arbitrary' dim, so qi == 0 runs
     # on every core before any qi > 0 step of the same (b, h); the rebuild
     # per (b, h) is two iota passes, negligible. ---------------------------
-    needs_mask = causal or window is not None or kv_len % chunk
+    needs_mask = causal or window is not None or kv_len % chunk or jagged
     if needs_mask:
         @pl.when(qi == 0)
         def _tables():
@@ -174,6 +187,13 @@ def _rowloop_kernel(
                                              (1, sub // LANES))
                              < kv_len - col0)
                     valid = pv_ok if valid is None else valid & pv_ok
+                if jagged:
+                    # per-request length: global col < L (rows past L are
+                    # pad; their garbage output is sliced per request)
+                    lv_ok = (diff + jnp.tile(rmod_scr[...],
+                                             (1, sub // LANES))
+                             < L - col0)
+                    valid = lv_ok if valid is None else valid & lv_ok
                 if valid is not None:
                     s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
             m_prev = m_scr[...]
@@ -229,6 +249,7 @@ def flash_attention_rowloop(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     window: Optional[int] = None,
+    seq_lengths: Optional[jax.Array] = None,
     config: Optional[FlashConfig] = None,
     chunk: int = 256,
     unroll: int = 2,
@@ -236,7 +257,18 @@ def flash_attention_rowloop(
     interpret: Optional[bool] = None,
 ):
     """Row-loop forward; returns (out, lse). Same semantics as
-    ops/flash.flash_attention minus segment_ids."""
+    ops/flash.flash_attention minus segment_ids.
+
+    seq_lengths: optional (batch,) int32 RUNTIME per-request lengths for
+    JAGGED batches (causal, q_len == kv_len): row b attends only its first
+    seq_lengths[b] tokens and the dynamic KV trip count clamps to them, so
+    a heterogeneous admission batch costs ~sum(L_i^2)/2 at 256-column
+    granularity — without packing into one row (no segment ids, and ONE
+    compiled executable per padded bucket instead of one per packing
+    pattern; cf. engine.add_requests_packed's compile-cost note). Rows at
+    positions >= seq_lengths[b] produce garbage output the caller slices
+    off per request.
+    """
     bs, hq, q_len, d = q.shape
     _, hkv, kv_len, dk = k.shape
     assert dk == d and v.shape == k.shape
@@ -247,6 +279,12 @@ def flash_attention_rowloop(
     if window is not None:
         assert causal, "sliding window requires causal=True"
         window = int(window)
+    jagged = seq_lengths is not None
+    if jagged:
+        assert causal and q_len == kv_len and window is None, (
+            "seq_lengths = jagged causal prefill (q_len == kv_len)")
+        seq_lengths = jnp.asarray(seq_lengths, jnp.int32)
+        assert seq_lengths.shape == (bs,), seq_lengths.shape
     if interpret is None:
         interpret = (config.interpret if config is not None
                      else jax.default_backend() != "tpu")
@@ -270,7 +308,7 @@ def flash_attention_rowloop(
     kernel = functools.partial(
         _rowloop_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         chunk=chunk, unroll=unroll, group=group, q_len=q_len, kv_len=kv_len,
-        window=window, single_loop=single_loop)
+        window=window, single_loop=single_loop, jagged=jagged)
 
     flops_mask = 0.5 if causal else 1.0
     cost = pl.CostEstimate(
@@ -280,15 +318,21 @@ def flash_attention_rowloop(
         transcendentals=int(bs * hq * q_len * kv_len * flops_mask),
     )
 
+    in_specs = [
+        pl.BlockSpec((1, group, block_q, d_pad),
+                     lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    operands = [qp, kp, vp]
+    if jagged:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(seq_lengths)
+
     out, lse = pl.pallas_call(
         kernel,
         grid=(bs, hkv, n_q),
-        in_specs=[
-            pl.BlockSpec((1, group, block_q, d_pad),
-                         lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, group, block_q, d_pad),
                          lambda b, h, i: (b, h, i, 0)),
@@ -315,7 +359,7 @@ def flash_attention_rowloop(
             vmem_limit_bytes=64 * 2**20),
         cost_estimate=cost,
         interpret=interpret,
-    )(qp, kp, vp)
+    )(*operands)
 
     return out[:, :, :q_len, :d], lse[:, :, :q_len, 0]
 

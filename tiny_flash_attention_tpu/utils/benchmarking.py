@@ -101,9 +101,12 @@ def run_benchmark(fn: Callable, *args, warmup: int = 5, epochs: int = 100,
             _fence(carry)
             samples.append(
                 (time.perf_counter() - t0 - fence_s) / epochs * 1e3)
+        samples.sort()
         return {
             "mean_ms": sum(samples) / len(samples),
-            "min_ms": min(samples),
+            "min_ms": samples[0],
+            "median_ms": samples[len(samples) // 2],
+            "spread": (samples[-1] - samples[0]) / samples[len(samples) // 2],
             "fence_ms": fence_s * 1e3,
             "epochs": epochs,
             "chained": True,
@@ -125,9 +128,12 @@ def run_benchmark(fn: Callable, *args, warmup: int = 5, epochs: int = 100,
         _fence(out)
         samples.append((time.perf_counter() - t0 - fence_s) / epochs * 1e3)
 
+    samples.sort()
     return {
         "mean_ms": sum(samples) / len(samples),
-        "min_ms": min(samples),
+        "min_ms": samples[0],
+        "median_ms": samples[len(samples) // 2],
+        "spread": (samples[-1] - samples[0]) / samples[len(samples) // 2],
         "fence_ms": fence_s * 1e3,
         "epochs": epochs,
     }

@@ -185,6 +185,14 @@ def main():
     # non-causal ceiling at the headline shape (whole-sequence row fold)
     bench_fwd("noncausal_bf16_gqa_s2048_d128_tflops", 2, 8, 2, 2048, 128,
               jnp.bfloat16, False)
+    # off-table head dims (ref static_switch.h:39-66 enumerates 32..256):
+    # d=96 pads to 128 lanes, d=192 to 256 — TF/s counts VALID (d-true)
+    # FLOPs, so the pad cost reads off directly vs the d=128/256 rows
+    # (~d_pad/d: 1.33x for 96, 1.33x for 192)
+    bench_fwd("bf16_gqa_causal_s2048_d96_tflops", 2, 8, 2, 2048, 96,
+              jnp.bfloat16, True)
+    bench_fwd("bf16_gqa_causal_s2048_d192_tflops", 2, 8, 2, 2048, 192,
+              jnp.bfloat16, True)
     # config 2: paged decode
     bench_paged_decode("bf16")
     bench_paged_decode("int8")

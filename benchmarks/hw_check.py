@@ -105,6 +105,29 @@ def main(seed0=0):
           flash_attention(q, k, v, causal=False), oracle(q, k, v),
           2e-2)
 
+    # both kernel families at the headline shape, regardless of dispatch:
+    # the auto route picks tri for plain causal prefill; pin each
+    from tiny_flash_attention_tpu.ops.configs import FlashConfig
+    check("bf16 causal s2048 TRI kernel (forced)",
+          flash_attention(q, k, v, causal=True,
+                          config=FlashConfig(kernel="tri")),
+          oracle(q, k, v, causal=True), 2e-2)
+    check("bf16 causal s2048 WORKLIST kernel (forced)",
+          flash_attention(q, k, v, causal=True,
+                          config=FlashConfig(block_q=2048, block_kv=512,
+                                             kv_splits=2)),
+          oracle(q, k, v, causal=True), 2e-2)
+
+    # off-table head dims (ref enumerates kHeadDim 32..256,
+    # static_switch.h:39-66): d=96 rides the pad-to-128 path, d=192 the
+    # pad-to-256 path — on-chip coverage for the padding correctness
+    for dd in (96, 192):
+        q9, k9, v9 = qkv(seed0 + 7 + dd, 2, 8, 2, 2048, 2048, dd,
+                         jnp.bfloat16)
+        check(f"bf16 gqa causal s2048 d{dd} (padded head dim)",
+              flash_attention(q9, k9, v9, causal=True),
+              oracle(q9, k9, v9, causal=True), 2e-2)
+
     # decode shape (q_len != kv_len), non-causal segments-free
     qd, kd, vd = qkv(seed0 + 1, 1, 8, 2, 128, 2048, 128, jnp.bfloat16)
     check("bf16 decode-shape causal",

@@ -34,7 +34,13 @@ def main():
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--subs", type=int, nargs="*", default=[128, 256, 512])
+    ap.add_argument("--leaves", type=int, nargs="*", default=None,
+                    help="paired with --subs: leaf size per variant "
+                         "(0 = same as sub)")
+    ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
+    leaves = args.leaves or [0] * len(args.subs)
+    assert len(leaves) == len(args.subs)
     seq = args.seq
 
     kq, kk, kv = jax.random.split(jax.random.key(0), 3)
@@ -44,37 +50,38 @@ def main():
     fl = attention_flops(BS, HQ, seq, seq, DIM, causal=True)
 
     print(f"== causal bf16 GQA s{seq} d{DIM} (valid-FLOP TF/s) ==")
-    base = jax.jit(functools.partial(
-        flash_attention, causal=True,
-        config=FlashConfig(block_q=2048, block_kv=512, kv_splits=2)))
-    r = run_benchmark(base, q, k, v, rounds=args.rounds)
-    print(f"worklist (2048,512,2): {fl / (r['min_ms'] / 1e3) / 1e12:8.1f}",
-          flush=True)
+    if not args.skip_baseline:
+        base = jax.jit(functools.partial(
+            flash_attention, causal=True,
+            config=FlashConfig(block_q=2048, block_kv=512, kv_splits=2)))
+        r = run_benchmark(base, q, k, v, rounds=args.rounds)
+        print(f"worklist (2048,512,2): "
+              f"{fl / (r['min_ms'] / 1e3) / 1e12:8.1f}", flush=True)
 
-    for sub in args.subs:
-        cfg = FlashConfig(kernel="tri", tri_sub=sub)
+    for sub, lf in zip(args.subs, leaves):
+        cfg = FlashConfig(kernel="tri", tri_sub=sub, tri_leaf=lf)
         fn = jax.jit(functools.partial(flash_attention, causal=True,
                                        config=cfg))
         try:
             r = run_benchmark(fn, q, k, v, rounds=args.rounds)
-            print(f"tri sub={sub:4d}:        "
+            print(f"tri sub={sub:4d} leaf={lf:4d}: "
                   f"{fl / (r['min_ms'] / 1e3) / 1e12:8.1f}", flush=True)
         except Exception as e:  # noqa: BLE001 - report and continue sweep
-            print(f"tri sub={sub:4d}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+            print(f"tri sub={sub:4d} leaf={lf:4d}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
     if args.int8:
         qk, qv = quantize_kv(k, v, "int8")
         from tiny_flash_attention_tpu.ops.flash import _flash_fwd_impl
 
-        for sub in args.subs:
-            cfg = FlashConfig(kernel="tri", tri_sub=sub)
+        for sub, lf in zip(args.subs, leaves):
+            cfg = FlashConfig(kernel="tri", tri_sub=sub, tri_leaf=lf)
             fn = jax.jit(lambda q, kp, ks, vp, vs, cfg=cfg: _flash_fwd_impl(
                 q, kp, vp, None, True, DIM ** -0.5, cfg,
                 k_scales=ks, v_scales=vs)[0])
             r = run_benchmark(fn, q, qk.values, qk.scales, qv.values,
                               qv.scales, rounds=args.rounds)
-            print(f"tri int8 sub={sub:4d}:   "
+            print(f"tri int8 sub={sub:4d} leaf={lf:4d}: "
                   f"{fl / (r['min_ms'] / 1e3) / 1e12:8.1f}", flush=True)
 
 

@@ -26,11 +26,14 @@ def _mk(shape_q, shape_kv, dtype, seed=0):
 
 @pytest.mark.parametrize("dtype,atol", [(jnp.float32, 1e-5),
                                         (jnp.bfloat16, 2e-2)])
-@pytest.mark.parametrize("s,sub,group", [(256, 128, 4), (384, 256, 1),
-                                         (512, 128, 2)])
-def test_tri_matches_reference(dtype, atol, s, sub, group):
+@pytest.mark.parametrize("s,sub,leaf,group", [(256, 128, None, 4),
+                                              (384, 256, None, 1),
+                                              (512, 128, None, 2),
+                                              (512, 256, 128, 2),
+                                              (640, 512, 128, 1)])
+def test_tri_matches_reference(dtype, atol, s, sub, leaf, group):
     q, k, v = _mk((2, 2 * group, s, 64), (2, 2, s, 64), dtype)
-    out, lse = tri_flash_fwd(q, k, v, sm_scale=0.125, sub=sub,
+    out, lse = tri_flash_fwd(q, k, v, sm_scale=0.125, sub=sub, leaf=leaf,
                              interpret=True)
     want = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32),
                          v.astype(jnp.float32), causal=True, sm_scale=0.125)
@@ -97,3 +100,56 @@ def test_forced_tri_config():
     want = mha_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=0)
+
+
+def test_tri_backward_matches_autodiff_oracle():
+    """One-shot tri backward (dq+dk+dv in one kernel) vs autodiff through
+    the fp32 reference, fwd and bwd both at sub=256/leaf=128."""
+    from tiny_flash_attention_tpu.ops.flash_tri_bwd import tri_flash_bwd
+
+    q, k, v = _mk((2, 4, 384, 64), (2, 2, 384, 64), jnp.float32, seed=13)
+    do = jax.random.normal(jax.random.key(14), q.shape, q.dtype)
+    sc = 0.125
+    out, lse = tri_flash_fwd(q, k, v, sm_scale=sc, sub=256, leaf=128,
+                             interpret=True)
+    dq, dk, dv = tri_flash_bwd(q, k, v, out, lse, do, sm_scale=sc,
+                               sub=256, leaf=128, interpret=True)
+
+    def loss(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True, sm_scale=sc)
+                       * do)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(gq), atol=1e-5,
+                               rtol=0)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(gk), atol=1e-5,
+                               rtol=0)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(gv), atol=1e-5,
+                               rtol=0)
+
+
+def test_tri_backward_via_custom_vjp_dispatch():
+    """grad through flash_attention with kernel='tri' runs the tri
+    backward and matches the reference's grads (bf16 gate)."""
+    q, k, v = _mk((1, 4, 256, 64), (1, 1, 256, 64), jnp.bfloat16, seed=15)
+    cfg = FlashConfig(kernel="tri", tri_sub=128, interpret=True)
+
+    def loss(fn, *args):
+        return fn(*args).astype(jnp.float32).sum()
+
+    got = jax.grad(
+        lambda q, k, v: loss(
+            lambda *a: flash_attention(*a, causal=True, config=cfg),
+            q, k, v), argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(
+        lambda q, k, v: loss(
+            lambda q, k, v: mha_reference(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), causal=True),
+            q, k, v), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        # bf16-class gate relative to each grad's magnitude (grads scale
+        # with the sum-loss fan-in; cf. hw_check's relative grad gates)
+        np.testing.assert_allclose(a, b, atol=2e-2 * np.abs(b).max(),
+                                   rtol=0)

@@ -53,10 +53,13 @@ class FlashConfig:
     # default to "worklist" so geometry sweeps measure what they name;
     # default_config() dispatches "auto".
     kernel: str = "worklist"
-    # Column-chunk width for the tri kernel's sweep: scheduled/valid
-    # efficiency is 1/(1 + tri_sub/S); smaller chunks waste less but emit
-    # more (smaller) dots.
-    tri_sub: int = 128
+    # Column-chunk width for the tri kernel's sweep (width of the tall
+    # unmasked rects) and the diagonal leaf size within a chunk:
+    # scheduled/valid = 1/(1 + tri_leaf/S). v5e measured (s2048 GQA bf16):
+    # sub=256 132.9 TF/s, 512 124.4, 128 96.7 (rect width dominates;
+    # per-chunk overhead hurts below 256).
+    tri_sub: int = 256
+    tri_leaf: int = 0   # 0 = same as tri_sub
 
     def __post_init__(self):
         assert self.block_q % LANES == 0, self.block_q

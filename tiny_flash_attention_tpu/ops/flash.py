@@ -395,7 +395,8 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
                 segment_starts, q.dtype):
             return flash_tri.tri_flash_fwd(
                 q, k, v, sm_scale=sm_scale,
-                sub=getattr(config, "tri_sub", 128),
+                sub=getattr(config, "tri_sub", 256),
+                leaf=getattr(config, "tri_leaf", 0) or None,
                 k_scales=k_scales, v_scales=v_scales,
                 interpret=config.interpret)
     # Keep the folded q tile (group*block_q rows) near the configured size.
@@ -555,6 +556,18 @@ def _flash_bwd_rule(causal, sm_scale, config, window, segment_starts,
                     res, g):
     from tiny_flash_attention_tpu.ops.flash_bwd import flash_attention_bwd
     q, k, v, segment_ids, out, lse = res
+    choice = getattr(config, "kernel", "worklist")
+    if choice in ("auto", "tri"):
+        from tiny_flash_attention_tpu.ops import flash_tri_bwd
+        if choice == "tri" or flash_tri_bwd.tri_bwd_eligible(
+                q.shape, k.shape[1], k.shape[2], causal, window,
+                segment_ids, segment_starts, q.dtype):
+            dq, dk, dv = flash_tri_bwd.tri_flash_bwd(
+                q, k, v, out, lse, g, sm_scale=sm_scale,
+                sub=getattr(config, "tri_sub", 256),
+                leaf=getattr(config, "tri_leaf", 0) or 128,
+                interpret=config.interpret)
+            return dq, dk, dv, None
     # tuned on v5e (chained timing, all three grads live): 512x512 wins
     # (86 TF/s effective vs 46 at 256x256)
     bwd_block = min(512, max(config.block_q, 128), max(config.block_kv, 128))

@@ -105,7 +105,8 @@ def _vmem_estimate(q_shape, hkv: int, dtype) -> int:
 
 
 def _tri_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float, group: int,
-                s_len: int, s_pad: int, sub: int, quantized: bool):
+                s_len: int, s_pad: int, sub: int, leaf: int,
+                quantized: bool):
     refs = list(refs)
     kscale_ref = vscale_ref = None
     if quantized:
@@ -144,22 +145,26 @@ def _tri_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float, group: int,
             sl = slice(j * sub, (j + 1) * sub)
             return k_ref[0, 0, sl, :], v_ref[0, 0, sl, :]
 
-    # leaf-diagonal mask, shared by every chunk (relative coords): valid
-    # iff col <= row within the sub x sub block
-    ci = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+    # leaf-diagonal mask, shared by every leaf (relative coords): valid
+    # iff col <= row within the leaf x leaf block
+    ci = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
     leaf_valid = ci <= ri
 
-    def update(g, r0, r1, s_tile, j, v_tile):
+    def update(g, r0, r1, s_tile, j, v_tile, col_lo=0, col_hi=None):
         """Online-softmax update of head g's rows [r0, r1) with the f32
-        score tile s_tile against kv chunk j (flash.py inner-loop idioms:
-        LANES-wide stats, reduction results stay lane-replicated, widening
-        via jnp.tile — see the layout note at flash.py:306-312)."""
+        score tile s_tile against kv chunk j's columns [col_lo, col_hi)
+        (flash.py inner-loop idioms: LANES-wide stats, reduction results
+        stay lane-replicated, widening via jnp.tile — see the layout note
+        at flash.py:306-312)."""
         base = g * s_pad
         rs = slice(base + r0, base + r1)
         cols = s_tile.shape[1]
+        if col_hi is not None:
+            v_tile = v_tile[col_lo:col_hi]
         if quantized:
-            s_tile = s_tile * kscale_ref[0, 0, :, j * sub:j * sub + cols]
+            c0 = j * sub + col_lo
+            s_tile = s_tile * kscale_ref[0, 0, :, c0:c0 + cols]
         m_prev = m_scr[rs, :]
         l_prev = l_scr[rs, :]
         m_cur = jnp.max(s_tile, axis=1, keepdims=True)
@@ -169,7 +174,8 @@ def _tri_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float, group: int,
         l_scr[rs, :] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[rs, :] = m_next
         if quantized:
-            p = p * vscale_ref[0, 0, :, j * sub:j * sub + cols]
+            p = p * vscale_ref[0, 0, :, j * sub + col_lo:
+                               j * sub + col_lo + cols]
         pv = jax.lax.dot_general(
             p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
@@ -179,18 +185,37 @@ def _tri_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float, group: int,
     for j in range(n_chunks):
         k_t, v_t = kv_chunk(j)
         c0 = j * sub
-        # --- masked leaf diagonal: rows [c0, c0+sub) x cols [c0, c0+sub)
-        valid = leaf_valid
-        if c0 + sub > s_len:
-            # partial tail chunk: also mask kv padding columns
-            valid = valid & (ci < s_len - c0)
-        for g in range(group):
-            qs = q[g * s_pad + c0:g * s_pad + c0 + sub, :]
-            s = jax.lax.dot_general(
-                qs, k_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
-            s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
-            update(g, c0, c0 + sub, s, j, v_t)
+        # --- the chunk's own sub x sub diagonal square, emitted at LEAF
+        # granularity: per leaf row-band t, a masked leaf x leaf diagonal
+        # plus (t > 0) one unmasked band rect over the chunk columns below
+        # it. Overscheduled work is leaf/2 per row -> sched = 1/(1+leaf/S)
+        # while the expensive tall rects keep their full `sub` width.
+        for t in range(sub // leaf):
+            l0 = c0 + t * leaf          # this band's first row/col
+            valid = leaf_valid
+            if l0 + leaf > s_len:
+                # partial tail: also mask kv padding columns
+                valid = valid & (ci < s_len - l0)
+            for g in range(group):
+                qs = q[g * s_pad + l0:g * s_pad + l0 + leaf, :]
+                kl = k_t[t * leaf:(t + 1) * leaf]
+                sl = jax.lax.dot_general(
+                    qs, kl, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                sl = jnp.where(valid, sl, DEFAULT_MASK_VALUE)
+                update(g, l0, l0 + leaf, sl, j, v_t,
+                       col_lo=t * leaf, col_hi=(t + 1) * leaf)
+            if t > 0:
+                for g in range(group):
+                    qs = q[g * s_pad + l0:g * s_pad + l0 + leaf, :]
+                    kb = k_t[:t * leaf]
+                    sb = jax.lax.dot_general(
+                        qs, kb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+                    update(g, l0, l0 + leaf, sb, j, v_t,
+                           col_lo=0, col_hi=t * leaf)
         # --- tall unmasked rectangle: rows [c0+sub, s_pad) see every
         # column of this chunk (fully-valid by construction)
         r0 = c0 + sub
@@ -212,7 +237,8 @@ def _tri_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float, group: int,
     lse_ref[0] = lse.astype(lse_ref.dtype).reshape(lse_ref.shape[1:])
 
 
-def tri_flash_fwd(q, k, v, *, sm_scale: float, sub: int = 128,
+def tri_flash_fwd(q, k, v, *, sm_scale: float, sub: int = 256,
+                  leaf: int = None,
                   k_scales=None, v_scales=None, interpret: bool = False):
     """Causal flash-attention forward via triangle decomposition.
 
@@ -227,6 +253,10 @@ def tri_flash_fwd(q, k, v, *, sm_scale: float, sub: int = 128,
     group = hq // hkv
     quantized = k_scales is not None
     sub = max(LANES, _round_up(sub, LANES))
+    leaf = sub if leaf is None else max(LANES, _round_up(leaf, LANES))
+    while sub % leaf:
+        leaf //= 2
+    leaf = max(leaf, LANES)
     d_pad = _round_up(d, LANES)
     s_pad = _round_up(q_len, sub)
     rows = group * s_pad
@@ -237,7 +267,7 @@ def tri_flash_fwd(q, k, v, *, sm_scale: float, sub: int = 128,
 
     kernel = functools.partial(
         _tri_kernel, sm_scale=sm_scale, group=group, s_len=q_len,
-        s_pad=s_pad, sub=sub, quantized=quantized)
+        s_pad=s_pad, sub=sub, leaf=leaf, quantized=quantized)
 
     in_specs = [
         pl.BlockSpec((1, group, s_pad, d_pad), lambda b, h: (b, h, 0, 0)),

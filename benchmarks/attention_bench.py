@@ -168,36 +168,65 @@ def bench_paged_decode(fmt):
          bytes_kv / (r["min_ms"] / 1e3) / 1e9, "GB/s")
 
 
-def main():
+ROWS = {
     # config 0: fp32 single-head (reference tiny_flash_attn shape), routed
     # to the fused-XLA path + the reference's batched-tiny cuda geometry
-    bench_cfg0()
+    "cfg0": bench_cfg0,
     # config 1 (headline): bf16 GQA causal s2048 d128
-    bench_fwd("cfg1_bf16_gqa_causal_s2048_d128_tflops", 2, 8, 2, 2048, 128,
-              jnp.bfloat16, True)
-    # int8 prefill parity runs EARLY: measured 82-90 TF/s in a fresh
-    # process but 43-64 when run after the paged/fp8 benches in the same
-    # process (relay/process aging, not a kernel property)
-    bench_int8_prefill()
-    # larger: s4096
-    bench_fwd("bf16_gqa_causal_s4096_d128_tflops", 1, 8, 2, 4096, 128,
-              jnp.bfloat16, True)
+    "cfg1": lambda: bench_fwd("cfg1_bf16_gqa_causal_s2048_d128_tflops",
+                              2, 8, 2, 2048, 128, jnp.bfloat16, True),
+    "int8_prefill": bench_int8_prefill,
+    "s4096": lambda: bench_fwd("bf16_gqa_causal_s4096_d128_tflops",
+                               1, 8, 2, 4096, 128, jnp.bfloat16, True),
     # non-causal ceiling at the headline shape (whole-sequence row fold)
-    bench_fwd("noncausal_bf16_gqa_s2048_d128_tflops", 2, 8, 2, 2048, 128,
-              jnp.bfloat16, False)
+    "noncausal": lambda: bench_fwd("noncausal_bf16_gqa_s2048_d128_tflops",
+                                   2, 8, 2, 2048, 128, jnp.bfloat16, False),
     # off-table head dims (ref static_switch.h:39-66 enumerates 32..256):
     # d=96 pads to 128 lanes, d=192 to 256 — TF/s counts VALID (d-true)
     # FLOPs, so the pad cost reads off directly vs the d=128/256 rows
     # (~d_pad/d: 1.33x for 96, 1.33x for 192)
-    bench_fwd("bf16_gqa_causal_s2048_d96_tflops", 2, 8, 2, 2048, 96,
-              jnp.bfloat16, True)
-    bench_fwd("bf16_gqa_causal_s2048_d192_tflops", 2, 8, 2, 2048, 192,
-              jnp.bfloat16, True)
+    "d96": lambda: bench_fwd("bf16_gqa_causal_s2048_d96_tflops",
+                             2, 8, 2, 2048, 96, jnp.bfloat16, True),
+    "d192": lambda: bench_fwd("bf16_gqa_causal_s2048_d192_tflops",
+                              2, 8, 2, 2048, 192, jnp.bfloat16, True),
     # config 2: paged decode
-    bench_paged_decode("bf16")
-    bench_paged_decode("int8")
+    "paged_bf16": lambda: bench_paged_decode("bf16"),
+    "paged_int8": lambda: bench_paged_decode("int8"),
     # config 3: fp8 chunked prefill
-    bench_fp8_prefill()
+    "fp8_prefill": bench_fp8_prefill,
+}
+
+
+def main():
+    import argparse
+    import subprocess
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=sorted(ROWS), default=None,
+                    help="run a single row (in this process)")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run every row in its OWN subprocess: row order "
+                         "cannot influence measurements (round-2 finding: "
+                         "the int8 row read 82-90 TF/s in a fresh process "
+                         "but 43-64 after the paged/fp8 benches — "
+                         "process/relay aging, not a kernel property)")
+    args = ap.parse_args()
+    if args.only:
+        ROWS[args.only]()
+        return
+    if args.isolate:
+        for name in ROWS:
+            proc = subprocess.run(
+                [sys.executable, "-u", __file__, "--only", name],
+                capture_output=True, text=True, timeout=2400)
+            sys.stdout.write(proc.stdout)
+            sys.stdout.flush()
+            if proc.returncode != 0:
+                print(f"row {name} FAILED:", file=sys.stderr)
+                sys.stderr.write(proc.stderr[-1500:])
+        return
+    for name in ROWS:
+        ROWS[name]()
 
 
 if __name__ == "__main__":

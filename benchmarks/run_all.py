@@ -15,15 +15,24 @@ collected, everything else passes through to stderr.
 
 import argparse
 import json
+import os
 import pathlib
 import subprocess
 import sys
 import time
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+# Persistent XLA compilation cache shared by every suite subprocess:
+# through the axon relay a fresh tri-kernel compile can take minutes, and
+# suites re-compile identical executables. Harmless elsewhere.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 SUITES = [
     ("headline", [sys.executable, "-u", "bench.py"]),
-    ("attention", [sys.executable, "-u", "benchmarks/attention_bench.py"]),
+    # --isolate: each attention row in its own subprocess so row order
+    # cannot influence measurements (the round-2 int8 2x in-suite swing)
+    ("attention", [sys.executable, "-u", "benchmarks/attention_bench.py",
+                   "--isolate"]),
     ("engine", [sys.executable, "-u", "benchmarks/engine_bench.py"]),
     ("train", [sys.executable, "-u", "benchmarks/train_bench.py"]),
 ]

@@ -153,3 +153,24 @@ def test_tri_backward_via_custom_vjp_dispatch():
         # with the sum-loss fan-in; cf. hw_check's relative grad gates)
         np.testing.assert_allclose(a, b, atol=2e-2 * np.abs(b).max(),
                                    rtol=0)
+
+
+def test_tri_backward_head_splits():
+    """Forced head_splits > 1: dk/dv accumulate across the sequential
+    split steps and still match the unsplit result (up to the summation
+    reassociation splitting introduces: the unsplit kernel contracts the
+    whole group inside one dot, splits add per-step partials in fp32)."""
+    from tiny_flash_attention_tpu.ops.flash_tri_bwd import tri_flash_bwd
+
+    q, k, v = _mk((1, 4, 256, 64), (1, 1, 256, 64), jnp.float32, seed=21)
+    do = jax.random.normal(jax.random.key(22), q.shape, q.dtype)
+    out, lse = tri_flash_fwd(q, k, v, sm_scale=0.125, sub=128,
+                             interpret=True)
+    ref = tri_flash_bwd(q, k, v, out, lse, do, sm_scale=0.125, sub=128,
+                        head_splits=1, interpret=True)
+    for hs in (2, 4):
+        got = tri_flash_bwd(q, k, v, out, lse, do, sm_scale=0.125,
+                            sub=128, head_splits=hs, interpret=True)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)

@@ -14,22 +14,42 @@ unmasked rectangles + leaf diagonals beats tiled grids (sched
   * both kernels' scheduling waste disappears the same way the forward's
     did: every fully-valid element lands in an unmasked rect.
 
-Math per block (rows R of head g, cols C of the kv chunk), from the
-saved forward (out, lse) — the standard FA2 backward identities:
+Math per block (rows R x cols C of the kv chunk), from the saved forward
+(lse) plus the precomputed per-row delta D = rowsum(do * out) — the
+standard FA2 backward identities:
 
-    s  = q @ k^T * scale            (log2-domain: q pre-scaled)
+    s  = q @ k^T * scale            (log2 domain for the exp)
     p  = exp2(s2 - lse2)            (s2, lse2 in the log2 domain)
     dp = do @ v^T
-    D  = rowsum(do * out)           (computed once per step)
     ds = p * (dp - D) * scale
     dq[rows] += ds @ k
     dk[cols] += ds^T @ q
     dv[cols] += p^T @ do
 
+STRUCTURE (differs from the forward deliberately): the forward's fully
+unrolled column sweep is fine there (3 temps per block), but the backward
+emits ~8 f32 temps per block and Mosaic allocates unrolled blocks'
+temps as distinct VMEM buffers — the unrolled form measured 472 MiB of
+VMEM at s2048 on v5e (3.7x physical). So the backward rolls the sweep
+into `lax.fori_loop`s with FIXED block shapes — one loop over kv chunks
+(diagonal leaves + strips) with a nested loop over the tall-rect row
+tiles — and batches every dot over the whole GQA group (rows from all
+`gpp` heads concatenate; dk/dv then sum over heads inside the dot's
+contraction, for free). Temps live in two small loop bodies instead of
+~100 unrolled blocks; the working set drops to windows + accumulators +
+O(gpp * sub^2).
+
+The backward still holds ~3x the forward's VMEM (do + three f32
+accumulators), so the GQA group optionally SPLITS over a third,
+sequential grid dimension: each step processes `group/splits` q heads'
+rows against the full K/V while dk/dv accumulate in scratch across the
+split steps (init at t == 0, write at t == splits-1). `head_splits`
+picks the smallest split whose working set fits.
+
 Scope mirrors the forward kernel: causal, q_len == kv_len, no window /
-segments, bf16/fp32, VMEM-gated. Reference analog: the LSE the reference
-emits "for a backward" it never built (cutlass flash_attention.cu:614-623)
-feeds exactly the p-reconstruction above.
+segments, bf16/fp32. Reference analog: the LSE the reference emits "for
+a backward" it never built (cutlass flash_attention.cu:614-623) feeds
+exactly the p-reconstruction above.
 """
 
 from __future__ import annotations
@@ -47,7 +67,29 @@ from tiny_flash_attention_tpu.ops.configs import LANES
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LOG2E = math.log2(math.e)
 
-_VMEM_BUDGET = 88 * 2**20
+_VMEM_BUDGET = 56 * 2**20   # per-step working-set target (windows+scratch)
+
+
+def _step_bytes(gpp: int, s_pad: int, d_pad: int, item: int,
+                sub: int = 256) -> int:
+    """Per-grid-step VMEM: double-buffered windows + f32 accumulators +
+    lane-widened stats + a loop-body temp allowance (the fori-loop
+    structure bounds temps at O(gpp * sub^2), not O(#blocks))."""
+    win = gpp * s_pad * d_pad * item * 3    # q, do, dq windows
+    win += s_pad * d_pad * item * 4         # k, v, dk, dv windows
+    acc = (gpp + 2) * s_pad * d_pad * 4
+    stats = 2 * gpp * s_pad * LANES * 4
+    temps = 12 * gpp * sub * sub * 4
+    return 2 * win + acc + stats + temps
+
+
+def _pick_splits(group: int, s_pad: int, d_pad: int, item: int) -> int:
+    for splits in (1, 2, 4, 8):
+        if group % splits:
+            continue
+        if _step_bytes(group // splits, s_pad, d_pad, item) <= _VMEM_BUDGET:
+            return splits
+    return 0
 
 
 def tri_bwd_eligible(q_shape, hkv: int, kv_len: int, causal: bool, window,
@@ -62,110 +104,126 @@ def tri_bwd_eligible(q_shape, hkv: int, kv_len: int, causal: bool, window,
         return False
     d_pad = _round_up(d, LANES)
     s_pad = _round_up(q_len, LANES)
-    rows = (hq // hkv) * s_pad
-    item = jnp.dtype(dtype).itemsize
-    ins = (2 * rows + 3 * s_pad) * d_pad * item + rows * 4  # q,do,out,k,v,lse
-    accs = (rows + 2 * s_pad) * d_pad * 4                    # dq,dk,dv f32
-    stats = 2 * rows * LANES * 4                             # D, lse2
-    return 2 * ins + accs + stats + rows * 256 * 4 <= _VMEM_BUDGET
+    return _pick_splits(hq // hkv, s_pad, d_pad,
+                        jnp.dtype(dtype).itemsize) > 0
 
 
-def _tri_bwd_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref,
+def _tri_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
                     dq_ref, dk_ref, dv_ref,
-                    dq_scr, dk_scr, dv_scr,
-                    *, sm_scale: float, group: int, s_len: int, s_pad: int,
-                    sub: int, leaf: int):
+                    dq_scr, dk_scr, dv_scr, d_scr, lse_scr,
+                    *, sm_scale: float, gpp: int, splits: int, s_len: int,
+                    s_pad: int, sub: int, leaf: int):
+    t = pl.program_id(2)
     d_pad = q_ref.shape[-1]
     n_chunks = s_pad // sub
     dtype = q_ref.dtype
     precision = (jax.lax.Precision.HIGHEST
                  if dtype == jnp.float32 else None)
-    rows_total = group * s_pad
+    scale2 = jnp.asarray(sm_scale * _LOG2E, jnp.float32)
 
     dq_scr[...] = jnp.zeros_like(dq_scr)
-    dk_scr[...] = jnp.zeros_like(dk_scr)
-    dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q_raw = q_ref[0].reshape(rows_total, d_pad)
-    qs_all = (q_raw * jnp.asarray(sm_scale * _LOG2E, dtype)).astype(dtype)
-    do_all = do_ref[0].reshape(rows_total, d_pad)
-    out_all = out_ref[0].reshape(rows_total, d_pad)
-    # D = rowsum(do * out): one elementwise pass + reduce per step; the
-    # reduction result is lane-replicated (rows, 1->LANES semantics)
-    D = jnp.sum(do_all.astype(jnp.float32) * out_all.astype(jnp.float32),
-                axis=1, keepdims=True)
-    # lse in the log2 domain for the exp2 reconstruction, widened ONCE to
-    # LANES so per-block use is cheap lane-block tiling (a loaded (rows,1)
-    # value broadcast per block would be the pathological cross-lane
-    # gather — see flash.py:306-312; reduce results like D are exempt,
-    # they come back lane-replicated)
-    lse2 = jnp.tile(lse_ref[0].reshape(rows_total, 1), (1, LANES)) \
-        * jnp.asarray(_LOG2E, jnp.float32)
-    k_all = k_ref[0, 0]
-    v_all = v_ref[0, 0]
+    @pl.when(t == 0)
+    def _init_kv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    # per-row delta D = rowsum(do*out), precomputed host-side (saves the
+    # `out` operand's VMEM window); widened ONCE to LANES like lse (a
+    # per-block widening of a (rows, 1) slice would be the pathological
+    # cross-lane gather — see flash.py:306-312). Staged into VMEM scratch
+    # because the loop bodies below slice at traced offsets, and Mosaic
+    # only lowers dynamic slices through refs (pl.ds), not values.
+    d_scr[...] = jnp.tile(dd_ref[0].reshape(gpp, s_pad, 1), (1, 1, LANES))
+    lse_scr[...] = jnp.tile(lse_ref[0].reshape(gpp, s_pad, 1),
+                            (1, 1, LANES)) * jnp.asarray(_LOG2E, jnp.float32)
 
     ci = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
     ri = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
-    leaf_valid = ci <= ri
+    leaf_tri = ci <= ri
 
-    def block(g, r0, r1, c0, c1, valid):
-        """One emitted block: rows [r0, r1) of head g x global kv columns
-        [c0, c1). Updates dq rows and dk/dv columns."""
-        base = g * s_pad
-        rs = slice(base + r0, base + r1)
-        kc = k_all[c0:c1]
-        vc = v_all[c0:c1]
-        cols = c1 - c0
+    def rows_of(ref, r0, rows):
+        return ref[0, :, pl.ds(r0, rows), :].reshape(gpp * rows, d_pad)
+
+    def stat(ref, r0, rows):
+        return ref[:, pl.ds(r0, rows), :].reshape(gpp * rows, LANES)
+
+    def block(r0, rows, kc, vc, c0, cols, valid):
+        """One emitted tile: ALL gpp heads' rows [r0, r0+rows) x global kv
+        columns [c0, c0+cols) (kc/vc hold those columns). The group dim
+        folds into the dot's row dim, so dk/dv's sum over heads happens
+        inside the contraction. r0/c0 may be traced; rows/cols static."""
+        qs = rows_of(q_ref, r0, rows)
+        dos = rows_of(do_ref, r0, rows)
+        rep = cols // LANES
         s2 = jax.lax.dot_general(
-            qs_all[rs, :], kc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+            qs, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) * scale2
         if valid is not None:
             s2 = jnp.where(valid, s2, DEFAULT_MASK_VALUE)
-        p = jnp.exp2(s2 - jnp.tile(lse2[rs, :], (1, cols // LANES)))
+        p = jnp.exp2(s2 - jnp.tile(stat(lse_scr, r0, rows), (1, rep)))
         dp = jax.lax.dot_general(
-            do_all[rs, :], vc, (((1,), (1,)), ((), ())),
+            dos, vc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        ds = (p * (dp - D[rs, :])
+        ds = (p * (dp - jnp.tile(stat(d_scr, r0, rows), (1, rep)))
               * jnp.asarray(sm_scale, jnp.float32)).astype(dtype)
         pc = p.astype(dtype)
-        dq_scr[rs, :] += jax.lax.dot_general(
+        dqc = jax.lax.dot_general(
             ds, kc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        dk_scr[c0:c1, :] += jax.lax.dot_general(
-            ds, q_raw[rs, :], (((0,), (0,)), ((), ())),
+        dq_scr[:, pl.ds(r0, rows), :] += dqc.reshape(gpp, rows, d_pad)
+        dk_scr[pl.ds(c0, cols), :] += jax.lax.dot_general(
+            ds, qs, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        dv_scr[c0:c1, :] += jax.lax.dot_general(
-            pc, do_all[rs, :], (((0,), (0,)), ((), ())),
+        dv_scr[pl.ds(c0, cols), :] += jax.lax.dot_general(
+            pc, dos, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
-    for j in range(n_chunks):
+    def chunk_body(j, carry):
         c0 = j * sub
-        # the chunk's own diagonal at leaf granularity
-        for t in range(sub // leaf):
-            l0 = c0 + t * leaf
-            valid = leaf_valid
-            if l0 + leaf > s_len:
-                valid = valid & (ci < s_len - l0)
-            for g in range(group):
-                block(g, l0, l0 + leaf, l0, l0 + leaf, valid)
-            if t > 0:
-                for g in range(group):
-                    block(g, l0, l0 + leaf, c0, l0, None)
-        # tall unmasked rectangle below the chunk diagonal
-        r0 = c0 + sub
-        if r0 < s_pad:
-            for g in range(group):
-                block(g, r0, s_pad, c0, c0 + sub, None)
+        kc = k_ref[0, 0, pl.ds(c0, sub), :]
+        vc = v_ref[0, 0, pl.ds(c0, sub), :]
+        # the chunk's own diagonal at leaf granularity: masked leaf x leaf
+        # squares plus (tt > 0) the unmasked strip of chunk columns to
+        # their left. sub // leaf is small (<= 4) so this stays unrolled;
+        # every shape is fixed across j, so Mosaic reuses the buffers.
+        for tt in range(sub // leaf):
+            l0 = c0 + tt * leaf
+            valid = jnp.tile(leaf_tri & (ci + l0 < s_len), (gpp, 1))
+            block(l0, leaf, kc[tt * leaf:(tt + 1) * leaf],
+                  vc[tt * leaf:(tt + 1) * leaf], l0, leaf, valid)
+            if tt:
+                block(l0, leaf, kc[:tt * leaf], vc[:tt * leaf],
+                      c0, tt * leaf, None)
 
-    dq_ref[0] = dq_scr[...].astype(dq_ref.dtype).reshape(dq_ref.shape[1:])
-    dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+        # tall unmasked rectangle below the chunk diagonal, as fixed
+        # sub x sub row tiles over a dynamic-bound loop
+        def rect_body(i, carry2):
+            block(i * sub, sub, kc, vc, c0, sub, None)
+            return carry2
+
+        jax.lax.fori_loop(j + 1, n_chunks, rect_body, 0)
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+    @pl.when(t == splits - 1)
+    def _write_kv():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def tri_flash_bwd(q, k, v, out, lse, do, *, sm_scale: float,
                   sub: int = 256, leaf: int = 128,
+                  head_splits: int = None,
                   interpret: bool = False):
-    """Returns (dq, dk, dv) for causal q_len == kv_len attention."""
+    """Returns (dq, dk, dv) for causal q_len == kv_len attention.
+
+    head_splits overrides the automatic VMEM-driven choice of how many
+    sequential steps the GQA group splits into (tests force > 1)."""
     bs, hq, q_len, d = q.shape
     _, hkv, kv_len, _ = k.shape
     assert q_len == kv_len
@@ -177,24 +235,29 @@ def tri_flash_bwd(q, k, v, out, lse, do, *, sm_scale: float,
     leaf = max(leaf, LANES)
     d_pad = _round_up(d, LANES)
     s_pad = _round_up(q_len, sub)
-    rows = group * s_pad
+    splits = head_splits or _pick_splits(
+        group, s_pad, d_pad, q.dtype.itemsize) or group
+    assert group % splits == 0, (group, splits)
+    gpp = group // splits
 
     q4 = _pad4(q, s_pad, d_pad)
     k4 = _pad4(k, s_pad, d_pad)
     v4 = _pad4(v, s_pad, d_pad)
     do4 = _pad4(do.astype(q.dtype), s_pad, d_pad)
-    out4 = _pad4(out, s_pad, d_pad)
-    # pad rows' lse: 0 is safe (p = exp2(mask - 0) ~ 0 against real cols;
-    # pad q rows are all-zero so even p = 1 would add zeros to dk/dv —
-    # but pad COLS in k are zero and pad q rows zero, s2 = 0 - 0 = 0,
-    # p = 1 for pad-row x pad-col pairs; their dv contribution is
-    # p^T @ do_pad_rows = 0 since do pad rows are zero)
-    lse4 = jnp.pad(lse[..., None], ((0, 0), (0, 0),
-                                    (0, s_pad - q_len), (0, 0)))
+    # D = rowsum(do * out) computed once in XLA (one fused elementwise+
+    # reduce pass) — keeps the `out` operand out of the kernel's VMEM
+    dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                 axis=-1, keepdims=True)
+    dd4 = jnp.pad(dd, ((0, 0), (0, 0), (0, s_pad - q_len), (0, 0)))
+    # pad rows' lse = 0 is safe: pad q rows are zero, so their ds/p
+    # contributions to dk/dv vanish against zero q/do rows, and their dq
+    # rows are sliced off
+    lse4 = jnp.pad(lse[..., None].astype(jnp.float32),
+                   ((0, 0), (0, 0), (0, s_pad - q_len), (0, 0)))
 
     kernel = functools.partial(
-        _tri_bwd_kernel, sm_scale=sm_scale, group=group, s_len=q_len,
-        s_pad=s_pad, sub=sub, leaf=leaf)
+        _tri_bwd_kernel, sm_scale=sm_scale, gpp=gpp, splits=splits,
+        s_len=q_len, s_pad=s_pad, sub=sub, leaf=leaf)
 
     cost = pl.CostEstimate(
         flops=int(10 * bs * hq * q_len * kv_len * d * 0.5),
@@ -203,21 +266,24 @@ def tri_flash_bwd(q, k, v, out, lse, do, *, sm_scale: float,
         transcendentals=int(bs * hq * q_len * kv_len * 0.5),
     )
 
+    def hd(b, h, t):
+        return b, h * splits + t, 0, 0
+
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(bs, hkv),
+        grid=(bs, hkv, splits),
         in_specs=[
-            pl.BlockSpec((1, group, s_pad, d_pad), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, group, s_pad, d_pad), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, group, s_pad, d_pad), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, group, s_pad, 1), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, gpp, s_pad, d_pad), hd),
+            pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h, t: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h, t: (b, h, 0, 0)),
+            pl.BlockSpec((1, gpp, s_pad, d_pad), hd),
+            pl.BlockSpec((1, gpp, s_pad, 1), hd),
+            pl.BlockSpec((1, gpp, s_pad, 1), hd),
         ],
         out_specs=[
-            pl.BlockSpec((1, group, s_pad, d_pad), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, gpp, s_pad, d_pad), hd),
+            pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h, t: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h, t: (b, h, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bs, hq, s_pad, d_pad), q.dtype),
@@ -225,16 +291,18 @@ def tri_flash_bwd(q, k, v, out, lse, do, *, sm_scale: float,
             jax.ShapeDtypeStruct((bs, hkv, s_pad, d_pad), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, d_pad), jnp.float32),    # dq accumulator
-            pltpu.VMEM((s_pad, d_pad), jnp.float32),   # dk accumulator
-            pltpu.VMEM((s_pad, d_pad), jnp.float32),   # dv accumulator
+            pltpu.VMEM((gpp, s_pad, d_pad), jnp.float32),   # dq acc
+            pltpu.VMEM((s_pad, d_pad), jnp.float32),        # dk acc
+            pltpu.VMEM((s_pad, d_pad), jnp.float32),        # dv acc
+            pltpu.VMEM((gpp, s_pad, LANES), jnp.float32),   # widened D
+            pltpu.VMEM((gpp, s_pad, LANES), jnp.float32),   # widened lse2
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 2**20),
         cost_estimate=cost,
         interpret=interpret,
-    )(q4, k4, v4, do4, out4, lse4)
+    )(q4, k4, v4, do4, lse4, dd4)
 
     return (dq[:, :, :q_len, :d], dk[:, :, :q_len, :d],
             dv[:, :, :q_len, :d])

@@ -207,3 +207,46 @@ def test_engine_int8_small_pages():
     # int8 KV noise may flip a greedy token in principle; in this tiny
     # model it does not — exact match doubles as a packing regression test
     assert run("int8") == run("bf16")
+
+
+def test_fused_page_append_matches_scatter():
+    """The Pallas in-place append (DMA per row/scale-group) lands tokens
+    bit-identically to the XLA scatter decomposition, across bf16 and the
+    int8 geometries (ps == d, ps < d, ps a multiple of d)."""
+    from tiny_flash_attention_tpu.ops.paged_fused import (
+        fused_page_append, scale_rows_per_side)
+    from tiny_flash_attention_tpu.models.inference import _append_rows_scatter
+
+    B, hkv, npages = 3, 2, 8
+    for fmt, ps, d in [("bf16", 128, 128), ("int8", 128, 128),
+                       ("int8", 64, 128), ("int8", 256, 128)]:
+        prows = 2 * ps + (2 * scale_rows_per_side(ps, d)
+                          if fmt == "int8" else 0)
+        dtype = jnp.int8 if fmt == "int8" else jnp.bfloat16
+        key = jax.random.key(ps + (0 if fmt == "bf16" else 1))
+        k1, k2, k3 = jax.random.split(key, 3)
+        pages = jax.random.randint(
+            k1, (hkv, npages, prows, d), -5, 5).astype(dtype)
+        k_new = jax.random.normal(k2, (B, hkv, d), jnp.float32)
+        v_new = jax.random.normal(k3, (B, hkv, d), jnp.float32)
+        page_ids = jnp.asarray([0, 3, 7], jnp.int32)
+        rows = jnp.asarray([0, ps // 2, ps - 1], jnp.int32)
+
+        got = np.asarray(fused_page_append(pages, k_new, v_new, page_ids,
+                                           rows, page_size=ps))
+        want = np.asarray(_append_rows_scatter(pages, k_new, v_new, page_ids,
+                                               rows, page_size=ps, fmt=fmt))
+        if fmt == "bf16":
+            np.testing.assert_array_equal(got, want)
+            continue
+        # int8: payload rows bit-exact; scale bytes may differ by 1 ulp of
+        # the f32 scale (the two paths' amax/127 lower through different
+        # XLA fusions), so compare the scales DECODED, not byte-wise
+        np.testing.assert_array_equal(got[:, :, :2 * ps], want[:, :, :2 * ps])
+        def dec(x):
+            b = jnp.swapaxes(jnp.asarray(x[:, :, 2 * ps:]), -1, -2)
+            b = b.reshape(*b.shape[:-1], b.shape[-1] // 4, 4)
+            return jax.lax.bitcast_convert_type(b, jnp.float32)
+        sc_got, sc_want = dec(got), dec(want)
+        np.testing.assert_allclose(np.asarray(sc_got), np.asarray(sc_want),
+                                   rtol=1e-6), (fmt, ps)

@@ -231,7 +231,21 @@ def decode_loop(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
 
 
 def _append_rows(pages, k_new, v_new, page_ids, rows, *, page_size, fmt):
-    """pages (hkv, np, prows, d); k_new/v_new (B, hkv, d)."""
+    """pages (hkv, np, prows, d); k_new/v_new (B, hkv, d).
+
+    Routes to the Pallas in-place append kernel (ops/paged_fused.py:
+    fused_page_append) — 2-4 overlapped DMAs per (head, seq) instead of
+    the XLA scatter decomposition (10 serialized scatters for int8).
+    """
+    from tiny_flash_attention_tpu.ops.paged_fused import fused_page_append
+    return fused_page_append(pages, k_new, v_new, page_ids, rows,
+                             page_size=page_size)
+
+
+def _append_rows_scatter(pages, k_new, v_new, page_ids, rows, *, page_size,
+                         fmt):
+    """XLA-scatter reference for _append_rows (kept as the oracle the
+    kernel path is tested against; not dispatched in the decode loop)."""
     ps = page_size
     k_new = jnp.swapaxes(k_new, 0, 1)    # (hkv, B, d)
     v_new = jnp.swapaxes(v_new, 0, 1)

@@ -131,6 +131,142 @@ def pack_paged_cache(k_pages: jax.Array, v_pages: jax.Array,
     raise ValueError(fmt)
 
 
+# --- token append -------------------------------------------------------------
+
+
+def _append_kernel(page_ids_ref, rows_ref, kq_ref, vq_ref, ksb_ref, vsb_ref,
+                   pages_in, pages_out, sems, *, page_size: int,
+                   quantized: bool):
+    """Writes one token's K/V row (+ packed scale bytes) per (head, seq)
+    straight into the fused pages in HBM. pages_out aliases pages_in, so
+    the updates are in place; everything else in the array is untouched.
+
+    Each destination is a tiny rectangular slice of the page:
+      K payload   (1, d)  at row `row`
+      V payload   (1, d)  at row  ps + row
+      K scales    (4, 1)  at rows 2ps   + 4*(row//d), lane row % d
+      V scales    (4, 1)  at rows 2ps+sr+ 4*(row//d), lane row % d
+    All copies start before any waits so their latencies overlap.
+    """
+    del pages_in
+    hkv, B = kq_ref.shape[0], kq_ref.shape[1]
+    ps = page_size
+    d = kq_ref.shape[-1]
+    sr = 4 * max(1, ps // d)
+
+    def copies(h, b):
+        pid = page_ids_ref[b]
+        row = rows_ref[b]
+        out = [
+            pltpu.make_async_copy(
+                kq_ref.at[h, pl.ds(b, 1), :],
+                pages_out.at[h, pid, pl.ds(row, 1), :],
+                sems.at[h, b, 0]),
+            pltpu.make_async_copy(
+                vq_ref.at[h, pl.ds(b, 1), :],
+                pages_out.at[h, pid, pl.ds(ps + row, 1), :],
+                sems.at[h, b, 1]),
+        ]
+        if quantized:
+            srow = 2 * ps + 4 * (row // d)
+            lane = row % d
+            out.append(pltpu.make_async_copy(
+                ksb_ref.at[h, :, pl.ds(b, 1)],
+                pages_out.at[h, pid, pl.ds(srow, 4), pl.ds(lane, 1)],
+                sems.at[h, b, 2]))
+            out.append(pltpu.make_async_copy(
+                vsb_ref.at[h, :, pl.ds(b, 1)],
+                pages_out.at[h, pid, pl.ds(sr + srow, 4), pl.ds(lane, 1)],
+                sems.at[h, b, 3]))
+        return out
+
+    started = [c for h in range(hkv) for b in range(B) for c in copies(h, b)]
+    for c in started:
+        c.start()
+    for c in started:
+        c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
+def fused_page_append(
+    fused_pages: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    page_ids: jax.Array,
+    rows: jax.Array,
+    *,
+    page_size: int,
+    interpret: Optional[bool] = None,
+):
+    """Appends one token per sequence into the fused page cache, in place.
+
+    fused_pages: (hkv, num_pages, prows, d) in the fused format above.
+    k_new/v_new: (B, hkv, d) new K/V rows (any float dtype; quantized here
+    when the cache is int8). page_ids/rows: (B,) int32 target page and
+    row-within-page. Returns the updated pages array (same buffer under
+    jit thanks to input/output aliasing).
+
+    Replaces the XLA scatter path: the int8 scatter decomposition is 2
+    payload scatters + 8 single-byte scale scatters, each serialized on
+    TPU; here the whole append is 2 (bf16) or 4 (int8) small DMAs per
+    (head, sequence), all in flight together. Decode-step analog of the
+    reference's in-loop cache write (flash_attention_c/csrc/attn.cpp
+    decode path: kv_len = i + 1 + gap grows as rows land in the cache).
+    """
+    hkv, num_pages, prows, d = fused_pages.shape
+    B = k_new.shape[0]
+    quantized = fused_pages.dtype == jnp.int8
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kt = jnp.swapaxes(k_new, 0, 1)            # (hkv, B, d)
+    vt = jnp.swapaxes(v_new, 0, 1)
+    if quantized:
+        def q(x):
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                           keepdims=True)
+            scale = jnp.where(amax == 0.0, 1.0, amax / INT8_MAX)
+            vals = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                            -INT8_MAX, INT8_MAX).astype(jnp.int8)
+            return vals, scale[..., 0]
+        kq, ks = q(kt)
+        vq, vs = q(vt)
+        # (hkv, B) f32 -> (hkv, 4, B) int8: byte j of token b at [j, b],
+        # matching _pack_scale_rows's byte-j-at-row-j layout
+        ksb = jnp.swapaxes(jax.lax.bitcast_convert_type(ks, jnp.int8), 1, 2)
+        vsb = jnp.swapaxes(jax.lax.bitcast_convert_type(vs, jnp.int8), 1, 2)
+    else:
+        kq = kt.astype(fused_pages.dtype)
+        vq = vt.astype(fused_pages.dtype)
+        ksb = jnp.zeros((hkv, 4, B), jnp.int8)
+        vsb = ksb
+
+    kernel = functools.partial(_append_kernel, page_size=page_size,
+                               quantized=quantized)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(kq.shape, lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec(vq.shape, lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec(ksb.shape, lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec(vsb.shape, lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((hkv, B, 4))],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(fused_pages.shape,
+                                        fused_pages.dtype)],
+        # inputs 0-1 are the scalar-prefetch operands; pages is input 6
+        input_output_aliases={6: 0},
+        interpret=interpret,
+    )(page_ids, rows, kq, vq, ksb, vsb, fused_pages)[0]
+
+
 # --- kernel -------------------------------------------------------------------
 
 

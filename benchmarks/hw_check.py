@@ -169,6 +169,47 @@ def main(seed0=0):
               flash_attention_quantized(q, kq_, vq_, causal=True),
               oracle(q, kd_, vd_, causal=True), 2e-2)
 
+    # in-place fused-page append kernel vs the XLA scatter oracle: the
+    # int8 path lands (4, 1) strided scale-byte DMAs — the one access
+    # shape interpret mode can't vouch for on real Mosaic
+    from tiny_flash_attention_tpu.ops.paged_fused import (
+        fused_page_append, scale_rows_per_side)
+    from tiny_flash_attention_tpu.models.inference import _append_rows_scatter
+    for fmt_a, ps_a in (("bf16", 128), ("int8", 128), ("int8", 64)):
+        d_a, hkv_a, B_a, np_a = 128, 2, 3, 8
+        prows = 2 * ps_a + (2 * scale_rows_per_side(ps_a, d_a)
+                            if fmt_a == "int8" else 0)
+        dt_a = jnp.int8 if fmt_a == "int8" else jnp.bfloat16
+        ka, kb, kc = jax.random.split(jax.random.key(seed0 + 31 + ps_a), 3)
+        pg = jax.random.randint(ka, (hkv_a, np_a, prows, d_a), -5,
+                                5).astype(dt_a)
+        kn = jax.random.normal(kb, (B_a, hkv_a, d_a), jnp.float32)
+        vn = jax.random.normal(kc, (B_a, hkv_a, d_a), jnp.float32)
+        pids = jnp.asarray([0, 3, 7], jnp.int32)
+        rws = jnp.asarray([0, ps_a // 2, ps_a - 1], jnp.int32)
+        got_a = fused_page_append(pg, kn, vn, pids, rws, page_size=ps_a)
+        want_a = _append_rows_scatter(pg, kn, vn, pids, rws,
+                                      page_size=ps_a, fmt=fmt_a)
+        # payload exact; scale bytes may differ by 1 f32 ulp (different
+        # fusion contexts lower amax/127 differently) — decode and
+        # compare as floats
+        pay = np.array_equal(np.asarray(got_a[:, :, :2 * ps_a]),
+                             np.asarray(want_a[:, :, :2 * ps_a]))
+        sc_err = 0.0
+        if fmt_a == "int8":
+            def dec(x):
+                b = np.swapaxes(np.asarray(x[:, :, 2 * ps_a:], np.int8),
+                                -1, -2).copy()
+                return b.view(np.float32)
+            gsc, wsc = dec(got_a), dec(want_a)
+            pay &= bool(np.array_equal(np.isfinite(gsc), np.isfinite(wsc)))
+            both = np.isfinite(gsc) & np.isfinite(wsc)
+            sc_err = float(np.max(np.abs(gsc[both] - wsc[both]) /
+                                  np.maximum(np.abs(wsc[both]), 1e-30)))
+        check(f"page append {fmt_a} ps{ps_a} (DMA vs scatter)",
+              jnp.asarray([float(pay), sc_err * 1e5]),
+              jnp.asarray([1.0, 0.0]), 0.5)
+
     # backward: grads vs oracle grads
     def sqloss(fn):
         return lambda *a: jnp.sum(fn(*a).astype(jnp.float32) ** 2) / a[0].size

@@ -62,18 +62,23 @@ def make_hybrid_mesh(
     ici_shape: Optional[Sequence[int]] = None,
     dcn_axis: str = "data",
     axis_order: Optional[Sequence[str]] = None,
+    num_slices: Optional[int] = None,
 ) -> Mesh:
     """Builds a mesh with `dcn_axis` across hosts/slices and `ici_axes`
     within a slice.
 
     Single-slice runs degrade to a plain mesh with dcn size 1, so code
     written against the hybrid layout runs unchanged on one host (and on
-    the virtual CPU mesh in tests).
+    the virtual CPU mesh in tests). `num_slices` overrides slice
+    detection — on multi-PROCESS CPU runs (the DCN smoke harness) devices
+    carry no slice_index, so pass jax.process_count() to put the dcn axis
+    across processes.
     """
     devices = jax.devices()
     n = len(devices)
-    num_slices = max(
-        len({getattr(d, "slice_index", 0) for d in devices}), 1)
+    if num_slices is None:
+        num_slices = max(
+            len({getattr(d, "slice_index", 0) for d in devices}), 1)
     per_slice = n // num_slices
     if ici_shape is None:
         ici_shape = [per_slice] + [1] * (len(ici_axes) - 1)
@@ -101,10 +106,15 @@ def _hybrid_device_array(devices, ici_shape, num_slices: int):
     mesh names.
     """
     if num_slices > 1:
-        from jax.experimental import mesh_utils
-        return mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=[1] + list(ici_shape),
-            dcn_mesh_shape=[num_slices] + [1] * len(ici_shape),
-            devices=devices,
-        )
+        if len({getattr(d, "slice_index", 0) for d in devices}) == num_slices:
+            from jax.experimental import mesh_utils
+            return mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=[1] + list(ici_shape),
+                dcn_mesh_shape=[num_slices] + [1] * len(ici_shape),
+                devices=devices,
+            )
+        # no slice topology (multi-process CPU smoke): one "slice" per
+        # process, devices contiguous within each
+        devs = sorted(devices, key=lambda d: (d.process_index, d.id))
+        return np.asarray(devs).reshape([num_slices] + list(ici_shape))
     return np.asarray(devices).reshape([1] + list(ici_shape))

@@ -35,6 +35,9 @@ SUITES = [
                    "--isolate"]),
     ("engine", [sys.executable, "-u", "benchmarks/engine_bench.py"]),
     ("train", [sys.executable, "-u", "benchmarks/train_bench.py"]),
+    ("jagged", [sys.executable, "-u", "benchmarks/jagged_prefill_bench.py"]),
+    ("ring_overlap", [sys.executable, "-u",
+                      "benchmarks/ring_overlap_bench.py"]),
 ]
 
 

@@ -78,12 +78,18 @@ _DISPATCH: dict[tuple[str, int], FlashConfig] = {
     # quantization waste (~block_q_per_head/seqlen) while the tall block
     # amortizes per-grid-step overhead — the measured optimum of that
     # product is 2048 folded rows (102 TF/s s2048 d128 GQA).
-    ("bfloat16", 64): FlashConfig(block_q=2048, block_kv=256),
+    #
+    # Keys are PADDED head dims (lane multiples): every d <= 128 rides the
+    # 128 entry after pad-to-lane (so the ref's kHeadDim 32/64/96 switch
+    # arms, static_switch.h:39-66, all land here), d in (128, 256] the 256
+    # entry, d in (256, 384] the 384 entry. 384 is VMEM-scaled from the
+    # 256 tuning (1.5x bytes/row), not measured on-chip.
     ("bfloat16", 128): FlashConfig(block_q=2048, block_kv=512, kv_splits=2),
     ("bfloat16", 256): FlashConfig(block_q=1024, block_kv=256),
-    ("float32", 64): FlashConfig(block_q=512, block_kv=512),
+    ("bfloat16", 384): FlashConfig(block_q=512, block_kv=256),
     ("float32", 128): FlashConfig(block_q=512, block_kv=512),
     ("float32", 256): FlashConfig(block_q=256, block_kv=256),
+    ("float32", 384): FlashConfig(block_q=256, block_kv=128),
 }
 
 # NON-causal has no triangle to quantize, so the row budget grows until
@@ -93,12 +99,12 @@ _DISPATCH: dict[tuple[str, int], FlashConfig] = {
 # overhead amortizes over 4x the rows. kv_splits=4 keeps the materialized
 # f32 score sub-tile at 8 MB; wider sub-tiles OOM VMEM at this row count.
 _DISPATCH_NONCAUSAL: dict[tuple[str, int], FlashConfig] = {
-    ("bfloat16", 64): FlashConfig(block_q=8192, block_kv=512, kv_splits=2),
     ("bfloat16", 128): FlashConfig(block_q=8192, block_kv=1024, kv_splits=4),
     ("bfloat16", 256): FlashConfig(block_q=4096, block_kv=256),
-    ("float32", 64): FlashConfig(block_q=2048, block_kv=512),
+    ("bfloat16", 384): FlashConfig(block_q=2048, block_kv=256),
     ("float32", 128): FlashConfig(block_q=2048, block_kv=512),
     ("float32", 256): FlashConfig(block_q=1024, block_kv=256),
+    ("float32", 384): FlashConfig(block_q=512, block_kv=128),
 }
 
 

@@ -178,6 +178,11 @@ ROWS = {
     "int8_prefill": bench_int8_prefill,
     "s4096": lambda: bench_fwd("bf16_gqa_causal_s4096_d128_tflops",
                                1, 8, 2, 4096, 128, jnp.bfloat16, True),
+    # s8192: the one-shot tri working set exceeds VMEM — auto routes to
+    # the q-banded sweep (flash_tri.tri_block_fwd), which keeps the rect
+    # geometry with K/V whole-sequence resident per band
+    "s8192": lambda: bench_fwd("bf16_gqa_causal_s8192_d128_tflops",
+                               1, 8, 2, 8192, 128, jnp.bfloat16, True),
     # non-causal ceiling at the headline shape (whole-sequence row fold)
     "noncausal": lambda: bench_fwd("noncausal_bf16_gqa_s2048_d128_tflops",
                                    2, 8, 2, 2048, 128, jnp.bfloat16, False),

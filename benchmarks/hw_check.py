@@ -117,6 +117,18 @@ def main(seed0=0):
                           config=FlashConfig(block_q=2048, block_kv=512,
                                              kv_splits=2)),
           oracle(q, k, v, causal=True), 2e-2)
+    check("bf16 causal s2048 TRI_BLOCK kernel (forced q-banded sweep)",
+          flash_attention(q, k, v, causal=True,
+                          config=FlashConfig(kernel="tri_block")),
+          oracle(q, k, v, causal=True), 2e-2)
+
+    # s8192: past the one-shot tri VMEM gate — the auto route must land
+    # on the q-banded kernel (dynamic rect fori_loop on chip)
+    q8, k8, v8 = qkv(seed0 + 5, 1, 8, 2, 8192, 8192, 128, jnp.bfloat16)
+    check("bf16 gqa causal s8192 d128 (auto -> tri_block)",
+          flash_attention(q8, k8, v8, causal=True),
+          oracle(q8, k8, v8, causal=True), 2e-2)
+    del q8, k8, v8
 
     # off-table head dims (ref enumerates kHeadDim 32..256,
     # static_switch.h:39-66): d=96 rides the pad-to-128 path, d=192 the

@@ -12,7 +12,8 @@ import pytest
 
 from tiny_flash_attention_tpu.ops.configs import FlashConfig
 from tiny_flash_attention_tpu.ops.flash import _flash_fwd_impl, flash_attention
-from tiny_flash_attention_tpu.ops.flash_tri import tri_flash_fwd, tri_eligible
+from tiny_flash_attention_tpu.ops.flash_tri import (
+    tri_flash_fwd, tri_eligible, tri_block_fwd, tri_block_eligible)
 from tiny_flash_attention_tpu.ops.quant import quantize_kv
 from tiny_flash_attention_tpu.ops.reference import mha_reference
 
@@ -100,6 +101,78 @@ def test_forced_tri_config():
     want = mha_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=0)
+
+
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 1e-5),
+                                        (jnp.bfloat16, 2e-2)])
+@pytest.mark.parametrize("s,group", [(2048, 4), (2500, 4), (1536, 1)])
+def test_tri_block_matches_reference(dtype, atol, s, group):
+    """Q-banded sweep (grid over row bands + dynamic rect fori_loop)
+    matches the fp32 oracle, incl. a non-128-multiple length."""
+    q, k, v = _mk((1, 2 * group, s, 64), (1, 2, s, 64), dtype)
+    out, lse = tri_block_fwd(q, k, v, sm_scale=0.125, sub=256, leaf=128,
+                             interpret=True)
+    want, wlse = mha_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32), causal=True, sm_scale=0.125,
+        return_lse=True,
+        impl=__import__("tiny_flash_attention_tpu.ops.reference",
+                        fromlist=["flash_attention_v2_ref"]
+                        ).flash_attention_v2_ref)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want), atol=atol, rtol=0)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(wlse),
+                               atol=max(atol, 2e-6), rtol=1e-2)
+
+
+def test_tri_block_quantized_vs_dequant_oracle():
+    q, k, v = _mk((1, 4, 2048, 128), (1, 1, 2048, 128), jnp.bfloat16,
+                  seed=5)
+    qk, qv = quantize_kv(k, v, "int8")
+    out, _ = tri_block_fwd(q, qk.values, qv.values, sm_scale=0.1, sub=256,
+                           k_scales=qk.scales, v_scales=qv.scales,
+                           interpret=True)
+    want = mha_reference(q.astype(jnp.float32), qk.dequantize(),
+                         qv.dequantize(), causal=True, sm_scale=0.1)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want), atol=2e-2, rtol=0)
+
+
+def test_tri_block_auto_dispatch_gate():
+    """auto routes to the banded kernel exactly when the one-shot working
+    set exceeds VMEM but the banded one fits (s8k GQA-4 d128 bf16)."""
+    from tiny_flash_attention_tpu.ops.flash_tri import _vmem_estimate
+    shape = (1, 8, 8192, 128)
+    assert _vmem_estimate(shape, 2, jnp.bfloat16) > \
+        __import__("tiny_flash_attention_tpu.ops.flash_tri",
+                   fromlist=["_VMEM_BUDGET"])._VMEM_BUDGET
+    assert tri_block_eligible(shape, 2, 8192, True, None, None, None,
+                              jnp.bfloat16)
+    assert not tri_block_eligible(shape, 2, 8192, False, None, None, None,
+                                  jnp.bfloat16)
+    assert not tri_block_eligible(shape, 2, 4096, True, None, None, None,
+                                  jnp.bfloat16)
+
+
+def test_forced_tri_block_config():
+    """kernel='tri_block' forces the banded path and stays correct +
+    differentiable through flash_attention's custom vjp."""
+    q, k, v = _mk((1, 4, 1024, 64), (1, 2, 1024, 64), jnp.bfloat16,
+                  seed=11)
+    cfg = FlashConfig(kernel="tri_block", tri_sub=256, tri_leaf=128,
+                      interpret=True)
+    got = flash_attention(q, k, v, causal=True, config=cfg)
+    want = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32), causal=True)
+    assert float(np.max(np.abs(np.asarray(got, np.float32)
+                               - np.asarray(want)))) < 2e-2
+
+    def loss(q, k, v):
+        return flash_attention(q, k, v, causal=True,
+                               config=cfg).astype(jnp.float32).sum()
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert dq.shape == q.shape and dk.shape == k.shape
 
 
 def test_tri_backward_matches_autodiff_oracle():

@@ -335,3 +335,270 @@ def _pad4(x, s_to: int, d_to: int):
     if ps == 0 and pd == 0:
         return x
     return jnp.pad(x, ((0, 0), (0, 0), (0, ps), (0, pd)))
+
+
+# ---------------------------------------------------------------------------
+# Q-banded triangle kernel: the same column-sweep decomposition, gridded
+# over row bands so sequences whose one-shot working set exceeds VMEM
+# (s >= ~8k at GQA-4 d128 bf16) keep the rect geometry. Band i (rows
+# [i*B, (i+1)*B)) holds its q/acc/stats plus the WHOLE K/V in VMEM:
+#
+#   rect phase: fori_loop over the i*B/sub chunks left of the band —
+#     every score is valid (rows >= band start > any chunk column), so
+#     these dots run the unmasked non-causal geometry;
+#   diag phase: the band's own B x B triangle via the static leaf sweep
+#     (identical structure to the one-shot kernel's per-chunk emission).
+#
+# The folded rows per grid step (group * B) stay at the measured optimum
+# (~8192) regardless of S, while K/V VMEM grows only linearly (4 MB at
+# s8k bf16 d128). The rect chunk count depends on the band index — a
+# dynamic trip count, which is exactly what lax.fori_loop under Pallas
+# ("arbitrary"-free, all-parallel grid) expresses.
+# ---------------------------------------------------------------------------
+
+# Folded-row budget per band step: group * band_rows ~ this. Matches the
+# non-causal dispatch's measured 8192-row optimum (configs.py).
+_BAND_ROW_BUDGET = 8192
+
+
+def tri_block_eligible(q_shape, hkv: int, kv_len: int, causal: bool, window,
+                       segment_ids, segment_starts, dtype) -> bool:
+    """True when the banded triangle kernel covers this problem."""
+    bs, hq, q_len, d = q_shape
+    if not causal or window is not None or segment_ids is not None \
+            or segment_starts is not None:
+        return False
+    if q_len != kv_len or q_len < 1024:
+        return False
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    return _block_vmem_estimate(q_shape, hkv, dtype) <= _VMEM_BUDGET
+
+
+def _block_vmem_estimate(q_shape, hkv: int, dtype) -> int:
+    bs, hq, q_len, d = q_shape
+    d_pad = _round_up(d, LANES)
+    group = hq // hkv
+    band = max(LANES, _round_up(_BAND_ROW_BUDGET // group, LANES))
+    s_pad = _round_up(q_len, band)
+    rows = group * band
+    item = jnp.dtype(dtype).itemsize
+    q_b = rows * d_pad * item
+    kv_b = 2 * s_pad * d_pad * item          # whole sequence, per step
+    o_b = rows * d_pad * item
+    acc_b = rows * d_pad * 4
+    stats_b = 2 * rows * LANES * 4
+    return 2 * (q_b + kv_b + o_b) + acc_b + stats_b + rows * 256 * 4
+
+
+def _tri_block_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float,
+                      group: int, s_len: int, s_pad: int, band: int,
+                      sub: int, leaf: int, quantized: bool):
+    refs = list(refs)
+    kscale_ref = vscale_ref = None
+    if quantized:
+        kscale_ref, vscale_ref = refs[:2]
+        del refs[:2]
+    o_ref, lse_ref, m_scr, l_scr, acc_scr, *quant_scr = refs
+    d_pad = q_ref.shape[-1]
+    d_rep = d_pad // LANES
+    dtype = q_ref.dtype
+    precision = (jax.lax.Precision.HIGHEST
+                 if dtype == jnp.float32 else None)
+    i = pl.program_id(2)                     # band index
+    band0 = i * band                          # first global row of the band
+
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].reshape(group * band, d_pad)
+    q = (q * jnp.asarray(sm_scale * _LOG2E, dtype)).astype(dtype)
+
+    if quantized:
+        from tiny_flash_attention_tpu.ops.flash import _payload_to_compute
+        kc_scr, vc_scr = quant_scr
+        kc_scr[...] = _payload_to_compute(k_ref[0, 0], dtype)
+        vc_scr[...] = _payload_to_compute(v_ref[0, 0], dtype)
+
+        def kv_at(c0, width):
+            return (kc_scr[pl.ds(c0, width), :], vc_scr[pl.ds(c0, width), :])
+    else:
+        def kv_at(c0, width):
+            return (k_ref[0, 0, pl.ds(c0, width), :],
+                    v_ref[0, 0, pl.ds(c0, width), :])
+
+    def update(g, r0, r1, s_tile, c0, v_tile):
+        """Online-softmax update of head g's band rows [r0, r1) (band-
+        local) against kv columns [c0, c0 + s_tile.shape[1]) (global,
+        possibly traced). Same lane-layout idioms as the one-shot kernel."""
+        base = g * band
+        rs = slice(base + r0, base + r1)
+        cols = s_tile.shape[1]
+        if quantized:
+            s_tile = s_tile * kscale_ref[0, 0, :, pl.ds(c0, cols)]
+        m_prev = m_scr[rs, :]
+        l_prev = l_scr[rs, :]
+        m_cur = jnp.max(s_tile, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s_tile - jnp.tile(m_next, (1, cols // LANES)))
+        l_scr[rs, :] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[rs, :] = m_next
+        if quantized:
+            p = p * vscale_ref[0, 0, :, pl.ds(c0, cols)]
+        pv = jax.lax.dot_general(
+            p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        acc_scr[rs, :] = (acc_scr[rs, :] * jnp.tile(alpha, (1, d_rep))
+                          + pv)
+
+    # --- rect phase: every chunk strictly left of the band, unmasked ------
+    def rect_body(j, _):
+        k_t, v_t = kv_at(j * sub, sub)
+        for g in range(group):
+            qs = q[g * band:(g + 1) * band, :]
+            s = jax.lax.dot_general(
+                qs, k_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            update(g, 0, band, s, j * sub, v_t)
+        return 0
+
+    jax.lax.fori_loop(0, band0 // sub, rect_body, 0)
+
+    # --- diag phase: the band's own triangle, leaf column sweep -----------
+    ci = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
+    leaf_valid = ci <= ri
+    for jj in range(band // sub):
+        c0l = jj * sub                         # band-local chunk start
+        k_t, v_t = kv_at(band0 + c0l, sub)
+        for t in range(sub // leaf):
+            l0 = c0l + t * leaf                # band-local leaf row/col
+            gl0 = band0 + l0                   # global (traced)
+            valid = leaf_valid & (ci < s_len - gl0)
+            for g in range(group):
+                qs = q[g * band + l0:g * band + l0 + leaf, :]
+                kl = k_t[t * leaf:(t + 1) * leaf]
+                sl = jax.lax.dot_general(
+                    qs, kl, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+                sl = jnp.where(valid, sl, DEFAULT_MASK_VALUE)
+                update(g, l0, l0 + leaf, sl, gl0,
+                       v_t[t * leaf:(t + 1) * leaf])
+            if t > 0:
+                for g in range(group):
+                    qs = q[g * band + l0:g * band + l0 + leaf, :]
+                    kb = k_t[:t * leaf]
+                    sb = jax.lax.dot_general(
+                        qs, kb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+                    update(g, l0, l0 + leaf, sb, band0 + c0l,
+                           v_t[:t * leaf])
+        r0 = c0l + sub
+        if r0 < band:
+            for g in range(group):
+                qs = q[g * band + r0:(g + 1) * band, :]
+                s = jax.lax.dot_general(
+                    qs, k_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+                update(g, r0, band, s, band0 + c0l, v_t)
+
+    l_f = l_scr[...]
+    l_safe = jnp.where((l_f == 0.0) | jnp.isnan(l_f), 1.0, l_f)
+    acc = acc_scr[...] / jnp.tile(l_safe, (1, d_rep))
+    o_ref[0] = acc.astype(o_ref.dtype).reshape(o_ref.shape[1:])
+    m_f = m_scr[...]
+    lse = m_f[:, :1] * _LN2 + jnp.log(l_safe[:, :1])
+    lse_ref[0] = lse.astype(lse_ref.dtype).reshape(lse_ref.shape[1:])
+
+
+def tri_block_fwd(q, k, v, *, sm_scale: float, sub: int = 256,
+                  leaf: int = None, k_scales=None, v_scales=None,
+                  interpret: bool = False):
+    """Causal flash-attention forward via the q-banded triangle sweep.
+
+    Same surface as tri_flash_fwd; use for sequences whose one-shot
+    working set exceeds VMEM. Returns (out, lse).
+    """
+    bs, hq, q_len, d = q.shape
+    _, hkv, kv_len, dk = k.shape
+    assert q_len == kv_len and dk == d and v.shape == k.shape
+    group = hq // hkv
+    quantized = k_scales is not None
+    sub = max(LANES, _round_up(sub, LANES))
+    leaf = sub if leaf is None else max(LANES, _round_up(leaf, LANES))
+    while sub % leaf:
+        leaf //= 2
+    leaf = max(leaf, LANES)
+    band = max(sub, _round_up(_BAND_ROW_BUDGET // group, sub))
+    d_pad = _round_up(d, LANES)
+    s_pad = _round_up(q_len, band)
+    n_bands = s_pad // band
+    rows = group * band
+
+    q = _pad4(q, s_pad, d_pad)
+    k = _pad4(k, s_pad, d_pad)
+    v = _pad4(v, s_pad, d_pad)
+
+    kernel = functools.partial(
+        _tri_block_kernel, sm_scale=sm_scale, group=group, s_len=q_len,
+        s_pad=s_pad, band=band, sub=sub, leaf=leaf, quantized=quantized)
+
+    in_specs = [
+        pl.BlockSpec((1, group, band, d_pad), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h, i: (b, h, 0, 0)),
+    ]
+    operands = [q, k, v]
+    if quantized:
+        ks = jnp.swapaxes(k_scales, 2, 3)
+        vs = jnp.swapaxes(v_scales, 2, 3)
+        if ks.shape[3] != s_pad:
+            pad = ((0, 0), (0, 0), (0, 0), (0, s_pad - ks.shape[3]))
+            ks, vs = jnp.pad(ks, pad), jnp.pad(vs, pad)
+        operands += [ks, vs]
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, s_pad), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, s_pad), lambda b, h, i: (b, h, 0, 0)),
+        ]
+
+    compute_dtype = q.dtype
+    scratch = [
+        pltpu.VMEM((rows, LANES), jnp.float32),
+        pltpu.VMEM((rows, LANES), jnp.float32),
+        pltpu.VMEM((rows, d_pad), jnp.float32),
+    ]
+    if quantized:
+        scratch += [pltpu.VMEM((s_pad, d_pad), compute_dtype)] * 2
+
+    cost = pl.CostEstimate(
+        flops=int(4 * bs * hq * q_len * kv_len * d * 0.5),
+        bytes_accessed=int((2 * q.size + n_bands * (k.size + v.size))
+                           * q.dtype.itemsize),
+        transcendentals=int(bs * hq * q_len * kv_len * 0.5),
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bs, hkv, n_bands),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, group, band, d_pad),
+                         lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, group, band, 1), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, hq, s_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bs, hq, s_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 2**20),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*operands)
+
+    return out[:, :, :q_len, :d], lse[:, :, :q_len, 0]

@@ -101,3 +101,35 @@ def test_autotune_flash_config(tmp_path):
     assert AT.load_cache(path) >= 1
     cfg2 = AT.autotune_flash_config(q, k, v, causal=True)
     assert (cfg2.block_q, cfg2.block_kv) == (cfg.block_q, cfg.block_kv)
+
+
+def test_autotune_candidates_cover_tri_family():
+    """The default candidate set sweeps the triangle kernels exactly when
+    they are eligible (one-shot for mid S, banded for long S), and the
+    persisted-cache schema round-trips the kernel family."""
+    from tiny_flash_attention_tpu.utils import autotune as AT
+
+    base = AT.default_config(jnp.bfloat16, 128, 2048, 2048, causal=True)
+    cands = AT._candidates(base, 2048, 2048, tri_shape=(1, 8, 2048, 128),
+                           hkv=2, causal=True, dtype=jnp.bfloat16)
+    assert {c.kernel for c in cands} >= {"worklist", "tri"}
+    cands8k = AT._candidates(base, 8192, 8192,
+                             tri_shape=(1, 8, 8192, 128), hkv=2,
+                             causal=True, dtype=jnp.bfloat16)
+    assert {c.kernel for c in cands8k} >= {"worklist", "tri_block"}
+    nc = AT._candidates(base, 2048, 2048, tri_shape=(1, 8, 2048, 128),
+                        hkv=2, causal=False, dtype=jnp.bfloat16)
+    assert {c.kernel for c in nc} == {"worklist"}
+
+    AT._CACHE[((1, 8, 2048, 128), (1, 2, 2048, 128), "bfloat16", True,
+               None, "test")] = AT.FlashConfig(kernel="tri", tri_sub=512)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t.json")
+        AT.save_cache(p)
+        AT._CACHE.clear()
+        AT.load_cache(p)
+    loaded = AT._CACHE[((1, 8, 2048, 128), (1, 2, 2048, 128), "bfloat16",
+                        True, None, "test")]
+    assert loaded.kernel == "tri" and loaded.tri_sub == 512
+    AT._CACHE.clear()

@@ -38,7 +38,9 @@ def _device_kind() -> str:
         return "unknown"
 
 
-def _candidates(base: FlashConfig, q_len: int, kv_len: int):
+def _candidates(base: FlashConfig, q_len: int, kv_len: int,
+                tri_shape=None, hkv=None, causal=True, window=None,
+                dtype=None):
     seen, out = set(), []
 
     def add(bq, bkv, spl):
@@ -48,7 +50,8 @@ def _candidates(base: FlashConfig, q_len: int, kv_len: int):
         if key not in seen:
             seen.add(key)
             out.append(dataclasses.replace(
-                base, block_q=bq, block_kv=bkv, kv_splits=spl))
+                base, block_q=bq, block_kv=bkv, kv_splits=spl,
+                kernel="worklist"))
 
     b, k, s = base.block_q, base.block_kv, base.kv_splits
     add(b, k, s)
@@ -58,6 +61,19 @@ def _candidates(base: FlashConfig, q_len: int, kv_len: int):
     add(b // 2, k, s)
     add(b, k * 2, s * 2)
     add(b, max(LANES, k // 2), s)
+    # triangle family (causal q==kv only): one-shot when the working set
+    # fits, else the q-banded sweep — sweep the chunk width around the
+    # measured v5e optimum (sub=256)
+    if tri_shape is not None:
+        from tiny_flash_attention_tpu.ops import flash_tri
+        args = (tri_shape, hkv, kv_len, causal, window, None, None, dtype)
+        family = ("tri" if flash_tri.tri_eligible(*args) else
+                  "tri_block" if flash_tri.tri_block_eligible(*args) else
+                  None)
+        if family:
+            for sub in (256, 512):
+                out.append(dataclasses.replace(
+                    base, kernel=family, tri_sub=sub))
     return out
 
 
@@ -83,7 +99,8 @@ def autotune_flash_config(
     base = default_config(q.dtype, d, q_len, kv_len, causal=causal,
                           interpret=jax.default_backend() != "tpu")
     cands = candidates if candidates is not None else _candidates(
-        base, q_len, kv_len)
+        base, q_len, kv_len, tri_shape=q.shape, hkv=k.shape[1],
+        causal=causal, window=window, dtype=q.dtype)
     best, best_ms = base, float("inf")
     for cfg in cands:
         fn = jax.jit(functools.partial(
@@ -113,7 +130,8 @@ def save_cache(path: str) -> None:
             "q_shape": list(qs), "k_shape": list(ks), "dtype": dtype,
             "causal": causal, "window": window, "device_kind": kind,
             "config": {"block_q": cfg.block_q, "block_kv": cfg.block_kv,
-                       "kv_splits": cfg.kv_splits},
+                       "kv_splits": cfg.kv_splits, "kernel": cfg.kernel,
+                       "tri_sub": cfg.tri_sub},
         })
     with open(path, "w") as f:
         json.dump(rows, f, indent=1)
@@ -130,6 +148,8 @@ def load_cache(path: str) -> int:
             block_q=r["config"]["block_q"],
             block_kv=r["config"]["block_kv"],
             kv_splits=r["config"]["kv_splits"],
+            kernel=r["config"].get("kernel", "worklist"),
+            tri_sub=r["config"].get("tri_sub", 256),
             interpret=jax.default_backend() != "tpu")
     return len(rows)
 

@@ -52,6 +52,24 @@ def _train_inputs(T, jax, jnp):
     return cfg, params, toks
 
 
+def _serve_inputs(T, jax, jnp):
+    """Decode-loop inputs for the 2-group DP serving check: 4 slots, page
+    pool split into two groups of 6 pages (page 0/6 are each group's
+    scratch), all as host numpy so every process passes identical values."""
+    import numpy as np
+    cfg = T.ModelConfig(
+        vocab_size=256, d_model=128, n_layers=2, n_q_heads=4, n_kv_heads=2,
+        d_head=128, d_ff=256, dtype=jnp.float32, attn_impl="flash")
+    params = T.init_params(cfg, jax.random.key(11))
+    pages0 = [np.zeros((cfg.n_kv_heads, 12, 2 * 128, cfg.d_head),
+                       np.float32) for _ in range(cfg.n_layers)]
+    table = np.asarray([[1, 2], [3, 4], [7, 8], [9, 10]], np.int32)
+    tok0 = np.asarray([3, 77, 5, 200], np.int32)
+    pos0 = np.zeros((4,), np.int32)
+    temps = np.asarray([0.7, 1.1, 0.9, 1.3], np.float32)
+    return cfg, params, pages0, tok0, pos0, table, temps
+
+
 def worker(idx: int) -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -102,8 +120,52 @@ def worker(idx: int) -> None:
                   out_shardings=NamedSharding(ring_mesh, P()))(got)
     ring_err = float(np.max(np.abs(np.asarray(got) - np.asarray(want))))
 
+    # --- sharded serving decode: dp ACROSS processes x tp within ---
+    # (BASELINE config 4: multi-host continuous-batching decode). Inputs
+    # are host numpy (identical on every process) so jit can shard them
+    # onto the global mesh; the decode loop all-gathers the sampled
+    # stream over `data`, so each process reads the full token block.
+    from tiny_flash_attention_tpu.parallel.serve import (
+        make_sharded_decode_loop)
+    scfg, sparams, pages0, tok0, pos0, table, temps = _serve_inputs(
+        T, jax, jnp)
+    serve_tokens = {}
+    for greedy in (True, False):
+        loop = make_sharded_decode_loop(
+            scfg, mesh, page_size=128, fmt="bf16", n_steps=6,
+            greedy=greedy, data_axis="data")
+        t = np.zeros_like(temps) if greedy else temps
+        _, sampled = loop(sparams, [p.copy() for p in pages0], tok0, pos0,
+                          table, t, jax.random.key(9))
+        serve_tokens["greedy" if greedy else "sampled"] = \
+            np.asarray(sampled).tolist()
+
     print(json.dumps({"process": idx, "losses": losses,
-                      "ring_maxerr": ring_err}), flush=True)
+                      "ring_maxerr": ring_err,
+                      "serve_tokens": serve_tokens}), flush=True)
+
+
+def oracle_serve_tokens():
+    """Single-process, single-device decode_loop oracle for the serving
+    check — the sharded DP x TP loop must be token-exact against this."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from tiny_flash_attention_tpu.models import transformer as T
+    from tiny_flash_attention_tpu.models.inference import decode_loop
+
+    cfg, params, pages0, tok0, pos0, table, temps = _serve_inputs(
+        T, jax, jnp)
+    out = {}
+    for greedy in (True, False):
+        t = np.zeros_like(temps) if greedy else temps
+        _, tokens, _ = decode_loop(
+            cfg, params, [jnp.asarray(p) for p in pages0], tok0, pos0,
+            table, t, jax.random.key(9),
+            page_size=128, fmt="bf16", n_steps=6, greedy=greedy)
+        out["greedy" if greedy else "sampled"] = np.asarray(tokens).tolist()
+    return out
 
 
 def oracle_losses():
@@ -157,13 +219,15 @@ def main() -> int:
         results.append(json.loads(out.strip().splitlines()[-1]))
 
     want = oracle_losses()
+    want_serve = oracle_serve_tokens()
     ok = True
     for r in results:
         dl = max(abs(a - b) for a, b in zip(r["losses"], want))
-        ok &= dl < 1e-4 and r["ring_maxerr"] < 2e-5
+        serve_ok = r.get("serve_tokens") == want_serve
+        ok &= dl < 1e-4 and r["ring_maxerr"] < 2e-5 and serve_ok
         print(f"process {r['process']}: losses {r['losses']} "
               f"(|d| vs oracle {dl:.2e}), ring maxerr "
-              f"{r['ring_maxerr']:.2e}")
+              f"{r['ring_maxerr']:.2e}, serve token-exact: {serve_ok}")
     print(json.dumps({
         "suite": "multiprocess_smoke", "processes": NPROC,
         "devices_global": 2 * NPROC, "train_steps": STEPS,
@@ -171,6 +235,8 @@ def main() -> int:
             max(abs(a - b) for a, b in zip(r["losses"], want))
             for r in results),
         "ring_maxerr": max(r["ring_maxerr"] for r in results),
+        "serve_token_exact": all(r.get("serve_tokens") == want_serve
+                                 for r in results),
         "elapsed_s": round(elapsed, 1), "ok": ok}), flush=True)
     return 0 if ok else 1
 

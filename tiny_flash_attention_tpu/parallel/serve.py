@@ -132,6 +132,13 @@ def make_sharded_decode_loop(cfg: T.ModelConfig, mesh: Mesh, *,
 
         (pages, tokens, positions, key), sampled = jax.lax.scan(
             body, (pages, tokens, positions, key), None, length=n_steps)
+        if data_axis:
+            # the host loop (one per process in multihost serving) needs
+            # the FULL stream for EOS/length bookkeeping — replicate the
+            # (tiny) token block instead of leaving it data-sharded, so
+            # every process can read it without touching remote shards
+            sampled = jax.lax.all_gather(sampled, data_axis, axis=1,
+                                         tiled=True)
         return pages, sampled
 
     pspec = jax.tree_util.tree_map(lambda s: s, param_specs(cfg),
@@ -141,7 +148,7 @@ def make_sharded_decode_loop(cfg: T.ModelConfig, mesh: Mesh, *,
     fn = jax.shard_map(
         local_loop, mesh=mesh,
         in_specs=(pspec, page_spec, P(da), P(da), P(da), P(da), P()),
-        out_specs=(page_spec, P(None, da)),
+        out_specs=(page_spec, P(None, da) if not da else P()),
         check_vma=False)
     return jax.jit(fn)
 

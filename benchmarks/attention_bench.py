@@ -168,6 +168,31 @@ def bench_paged_decode(fmt):
          bytes_kv / (r["min_ms"] / 1e3) / 1e9, "GB/s")
 
 
+def bench_window():
+    """Sliding-window causal prefill s8192 w1024: banded tri vs worklist."""
+    bs, hq, hkv, S, d, w = 1, 8, 2, 8192, 128, 1024
+    kq, kk, kv = jax.random.split(jax.random.key(6), 3)
+    q = jax.random.normal(kq, (bs, hq, S, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (bs, hkv, S, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (bs, hkv, S, d), jnp.bfloat16)
+    # valid scores: w(w+1)/2 on the ramp + (S-w) full-width rows
+    valid = w * (w + 1) // 2 + (S - w) * w
+    fl = 4 * bs * hq * d * valid
+    f_auto = jax.jit(functools.partial(flash_attention, causal=True,
+                                       window=w))
+    r_auto = run_benchmark(f_auto, q, k, v, rounds=5)
+    from tiny_flash_attention_tpu.ops.configs import FlashConfig
+    f_wl = jax.jit(functools.partial(
+        flash_attention, causal=True, window=w,
+        config=FlashConfig(block_q=2048, block_kv=512, kv_splits=2)))
+    r_wl = run_benchmark(f_wl, q, k, v, rounds=5)
+    emit("window_w1024_s8192_tri_block_tflops",
+         fl / (r_auto["min_ms"] / 1e3) / 1e12, "TFLOPs/s",
+         r_wl["min_ms"] / r_auto["min_ms"])
+    emit("window_w1024_s8192_worklist_tflops",
+         fl / (r_wl["min_ms"] / 1e3) / 1e12, "TFLOPs/s")
+
+
 ROWS = {
     # config 0: fp32 single-head (reference tiny_flash_attn shape), routed
     # to the fused-XLA path + the reference's batched-tiny cuda geometry
@@ -183,6 +208,10 @@ ROWS = {
     # geometry with K/V whole-sequence resident per band
     "s8192": lambda: bench_fwd("bf16_gqa_causal_s8192_d128_tflops",
                                1, 8, 2, 8192, 128, jnp.bfloat16, True),
+    # sliding window at long S (mistral-style prefill): O(S*window) work;
+    # TF/s counts VALID (in-window) FLOPs. auto routes to tri_block's
+    # edge-masked band sweep; the worklist row isolates the band grid
+    "window": bench_window,
     # non-causal ceiling at the headline shape (whole-sequence row fold)
     "noncausal": lambda: bench_fwd("noncausal_bf16_gqa_s2048_d128_tflops",
                                    2, 8, 2, 2048, 128, jnp.bfloat16, False),

@@ -154,6 +154,30 @@ def test_tri_block_auto_dispatch_gate():
                                   jnp.bfloat16)
 
 
+def test_tri_block_window_matches_worklist():
+    """Sliding-window causal through the banded sweep (band clipped to
+    <= window, left-edge chunks masked) vs the work-list kernel."""
+    q, k, v = _mk((1, 8, 2048, 64), (1, 2, 2048, 64), jnp.bfloat16,
+                  seed=17)
+    want = flash_attention(
+        q, k, v, causal=True, window=512,
+        config=FlashConfig(block_q=1024, block_kv=256, interpret=True))
+    got = flash_attention(
+        q, k, v, causal=True, window=512,
+        config=FlashConfig(kernel="tri_block", tri_sub=256, tri_leaf=128,
+                           interpret=True))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=2e-2,
+                               rtol=0)
+    # auto routes windowed causal prefill to the banded kernel too
+    assert tri_block_eligible((1, 8, 2048, 64), 2, 2048, True, 512, None,
+                              None, jnp.bfloat16)
+    auto = flash_attention(q, k, v, causal=True, window=512)
+    np.testing.assert_allclose(np.asarray(auto, np.float32),
+                               np.asarray(want, np.float32), atol=2e-2,
+                               rtol=0)
+
+
 def test_forced_tri_block_config():
     """kernel='tri_block' forces the banded path and stays correct +
     differentiable through flash_attention's custom vjp."""

@@ -385,28 +385,35 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
     choice = getattr(config, "kernel", "worklist")
     if choice in ("auto", "tri", "tri_block"):
         from tiny_flash_attention_tpu.ops import flash_tri
-        forced = choice in ("tri", "tri_block")
-        if forced:
+        if choice == "tri":
             assert causal and q_len == kv_len and window is None \
                 and segment_ids is None and segment_starts is None, \
-                "kernel='tri'/'tri_block' covers plain causal " \
-                "q_len == kv_len only"
+                "kernel='tri' covers plain causal q_len == kv_len only"
+        elif choice == "tri_block":
+            assert causal and q_len == kv_len and segment_ids is None \
+                and segment_starts is None, \
+                "kernel='tri_block' covers causal q_len == kv_len " \
+                "(optionally windowed) only"
         tri_kw = dict(sm_scale=sm_scale,
                       sub=getattr(config, "tri_sub", 256),
                       leaf=getattr(config, "tri_leaf", 0) or None,
                       k_scales=k_scales, v_scales=v_scales,
                       interpret=config.interpret)
-        if choice == "tri" or (choice == "auto" and flash_tri.tri_eligible(
-                q.shape, hkv, kv_len, causal, window, segment_ids,
-                segment_starts, q.dtype)):
+        if choice == "tri" or (
+                choice == "auto" and window is None
+                and flash_tri.tri_eligible(
+                    q.shape, hkv, kv_len, causal, window, segment_ids,
+                    segment_starts, q.dtype)):
             return flash_tri.tri_flash_fwd(q, k, v, **tri_kw)
-        # One-shot working set too big (long S): the q-banded sweep keeps
-        # the rect geometry with VMEM growing only linearly in S.
+        # One-shot working set too big (long S) or sliding window: the
+        # q-banded sweep keeps the rect geometry, VMEM linear in S.
         if choice == "tri_block" or (
                 choice == "auto" and flash_tri.tri_block_eligible(
                     q.shape, hkv, kv_len, causal, window, segment_ids,
-                    segment_starts, q.dtype)):
-            return flash_tri.tri_block_fwd(q, k, v, **tri_kw)
+                    segment_starts, q.dtype,
+                    sub=getattr(config, "tri_sub", 256))):
+            return flash_tri.tri_block_fwd(q, k, v, window=window,
+                                           **tri_kw)
     # Keep the folded q tile (group*block_q rows) near the configured size.
     block_q = max(LANES, _round_up(config.block_q // group, LANES))
     block_q = min(block_q, _round_up(q_len, LANES))

@@ -362,13 +362,22 @@ _BAND_ROW_BUDGET = 8192
 
 
 def tri_block_eligible(q_shape, hkv: int, kv_len: int, causal: bool, window,
-                       segment_ids, segment_starts, dtype) -> bool:
-    """True when the banded triangle kernel covers this problem."""
+                       segment_ids, segment_starts, dtype,
+                       sub: int = 256) -> bool:
+    """True when the banded triangle kernel covers this problem.
+
+    Sliding windows ARE covered (unlike the one-shot kernel): the band
+    height shrinks to <= window so the band's own triangle stays fully
+    inside the window, and the rect phase clips + edge-masks the chunks
+    at the window's left boundary. Windows narrower than one chunk stay
+    on the work-list grid (its banded work list is the right tool there).
+    """
     bs, hq, q_len, d = q_shape
-    if not causal or window is not None or segment_ids is not None \
-            or segment_starts is not None:
+    if not causal or segment_ids is not None or segment_starts is not None:
         return False
     if q_len != kv_len or q_len < 1024:
+        return False
+    if window is not None and window < sub:
         return False
     if dtype not in (jnp.bfloat16, jnp.float32):
         return False
@@ -393,7 +402,8 @@ def _block_vmem_estimate(q_shape, hkv: int, dtype) -> int:
 
 def _tri_block_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float,
                       group: int, s_len: int, s_pad: int, band: int,
-                      sub: int, leaf: int, quantized: bool):
+                      sub: int, leaf: int, quantized: bool,
+                      window=None):
     refs = list(refs)
     kscale_ref = vscale_ref = None
     if quantized:
@@ -453,7 +463,14 @@ def _tri_block_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float,
         acc_scr[rs, :] = (acc_scr[rs, :] * jnp.tile(alpha, (1, d_rep))
                           + pv)
 
-    # --- rect phase: every chunk strictly left of the band, unmasked ------
+    # --- rect phase: chunks strictly left of the band ---------------------
+    # causal-only: all of them, unmasked. With a sliding window, a chunk
+    # is fully valid iff its columns are inside EVERY band row's window
+    # (c0 >= band0 + band - window); chunks straddling the window's left
+    # edge get a banded mask (col > row - window), and chunks entirely
+    # left of any row's window are never scheduled.
+    n_left = band0 // sub
+
     def rect_body(j, _):
         k_t, v_t = kv_at(j * sub, sub)
         for g in range(group):
@@ -464,7 +481,30 @@ def _tri_block_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float,
             update(g, 0, band, s, j * sub, v_t)
         return 0
 
-    jax.lax.fori_loop(0, band0 // sub, rect_body, 0)
+    if window is None:
+        jax.lax.fori_loop(0, n_left, rect_body, 0)
+    else:
+        lo_full = jnp.clip(-(-(band0 + band - window) // sub), 0, n_left)
+        lo_any = jnp.clip((band0 - window) // sub, 0, n_left)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (band, sub), 0) + band0
+
+        def edge_body(j, _):
+            k_t, v_t = kv_at(j * sub, sub)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (band, sub), 1) \
+                + j * sub
+            valid = cc > rr - window
+            for g in range(group):
+                qs = q[g * band:(g + 1) * band, :]
+                s = jax.lax.dot_general(
+                    qs, k_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+                update(g, 0, band, s, j * sub, v_t)
+            return 0
+
+        jax.lax.fori_loop(lo_any, lo_full, edge_body, 0)
+        jax.lax.fori_loop(lo_full, n_left, rect_body, 0)
 
     # --- diag phase: the band's own triangle, leaf column sweep -----------
     ci = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
@@ -515,12 +555,12 @@ def _tri_block_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float,
 
 
 def tri_block_fwd(q, k, v, *, sm_scale: float, sub: int = 256,
-                  leaf: int = None, k_scales=None, v_scales=None,
-                  interpret: bool = False):
+                  leaf: int = None, window=None, k_scales=None,
+                  v_scales=None, interpret: bool = False):
     """Causal flash-attention forward via the q-banded triangle sweep.
 
-    Same surface as tri_flash_fwd; use for sequences whose one-shot
-    working set exceeds VMEM. Returns (out, lse).
+    Same surface as tri_flash_fwd plus sliding `window` (>= sub); use for
+    sequences whose one-shot working set exceeds VMEM. Returns (out, lse).
     """
     bs, hq, q_len, d = q.shape
     _, hkv, kv_len, dk = k.shape
@@ -533,6 +573,11 @@ def tri_block_fwd(q, k, v, *, sm_scale: float, sub: int = 256,
         leaf //= 2
     leaf = max(leaf, LANES)
     band = max(sub, _round_up(_BAND_ROW_BUDGET // group, sub))
+    if window is not None:
+        # the band's own triangle must sit fully inside the window
+        # (within-band row-col distance <= band - 1), so band <= window
+        assert window >= sub, (window, sub)
+        band = min(band, window // sub * sub)
     d_pad = _round_up(d, LANES)
     s_pad = _round_up(q_len, band)
     n_bands = s_pad // band
@@ -544,7 +589,8 @@ def tri_block_fwd(q, k, v, *, sm_scale: float, sub: int = 256,
 
     kernel = functools.partial(
         _tri_block_kernel, sm_scale=sm_scale, group=group, s_len=q_len,
-        s_pad=s_pad, band=band, sub=sub, leaf=leaf, quantized=quantized)
+        s_pad=s_pad, band=band, sub=sub, leaf=leaf, quantized=quantized,
+        window=window)
 
     in_specs = [
         pl.BlockSpec((1, group, band, d_pad), lambda b, h, i: (b, h, i, 0)),

@@ -32,6 +32,12 @@ CURATED = [
      "vs naive fused-XLA attention on the same chip"),
     ("bf16_gqa_causal_s4096_d128_tflops",
      "Flash fwd, causal GQA s4096 d128", ""),
+    ("bf16_gqa_causal_s8192_d128_tflops",
+     "Flash fwd, causal GQA s8192 d128",
+     "q-banded triangle sweep (tri_block)"),
+    ("window_w1024_s8192_tri_block_tflops",
+     "Sliding window w1024 s8192 (tri_block)",
+     "valid-FLOP TF/s; vs_baseline = speedup over the work-list grid"),
     ("noncausal_bf16_gqa_s2048_d128_tflops",
      "Flash fwd, non-causal s2048 d128",
      "whole-sequence row fold"),

@@ -38,6 +38,10 @@ def main():
                     help="paired with --subs: leaf size per variant "
                          "(0 = same as sub)")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--kernel", choices=["tri", "tri_block"],
+                    default="tri")
+    ap.add_argument("--window", type=int, default=None,
+                    help="sliding window (tri_block only)")
     args = ap.parse_args()
     leaves = args.leaves or [0] * len(args.subs)
     assert len(leaves) == len(args.subs)
@@ -58,16 +62,22 @@ def main():
         print(f"worklist (2048,512,2): "
               f"{fl / (r['min_ms'] / 1e3) / 1e12:8.1f}", flush=True)
 
+    if args.window is not None:
+        # window accounting: ramp + full-width rows, valid FLOPs only
+        w = args.window
+        valid = w * (w + 1) // 2 + max(0, seq - w) * w
+        fl = 4 * BS * HQ * DIM * valid
+
     for sub, lf in zip(args.subs, leaves):
-        cfg = FlashConfig(kernel="tri", tri_sub=sub, tri_leaf=lf)
+        cfg = FlashConfig(kernel=args.kernel, tri_sub=sub, tri_leaf=lf)
         fn = jax.jit(functools.partial(flash_attention, causal=True,
-                                       config=cfg))
+                                       window=args.window, config=cfg))
         try:
             r = run_benchmark(fn, q, k, v, rounds=args.rounds)
-            print(f"tri sub={sub:4d} leaf={lf:4d}: "
+            print(f"{args.kernel} sub={sub:4d} leaf={lf:4d}: "
                   f"{fl / (r['min_ms'] / 1e3) / 1e12:8.1f}", flush=True)
         except Exception as e:  # noqa: BLE001 - report and continue sweep
-            print(f"tri sub={sub:4d} leaf={lf:4d}: FAILED "
+            print(f"{args.kernel} sub={sub:4d} leaf={lf:4d}: FAILED "
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
     if args.int8:

@@ -252,6 +252,34 @@ def test_tri_backward_via_custom_vjp_dispatch():
                                    rtol=0)
 
 
+def test_tri_banded_backward_matches_autodiff_oracle():
+    """Row-banded triangle backward (multi-band grid, dk/dv accumulated
+    across sequential band steps) vs autodiff through the fp32 ref."""
+    from tiny_flash_attention_tpu.ops.flash_tri_bwd import (
+        tri_flash_bwd_banded)
+
+    q, k, v = _mk((1, 4, 768, 64), (1, 2, 768, 64), jnp.float32, seed=23)
+    do = jax.random.normal(jax.random.key(24), q.shape, q.dtype)
+    sc = 0.125
+    out, lse = tri_flash_fwd(q, k, v, sm_scale=sc, sub=256, leaf=128,
+                             interpret=True)
+    dq, dk, dv = tri_flash_bwd_banded(q, k, v, out, lse, do, sm_scale=sc,
+                                      sub=256, leaf=128, band_rows=256,
+                                      interpret=True)
+
+    def loss(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True, sm_scale=sc)
+                       * do)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(gq), atol=1e-5,
+                               rtol=0)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(gk), atol=1e-5,
+                               rtol=0)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(gv), atol=1e-5,
+                               rtol=0)
+
+
 def test_tri_backward_head_splits():
     """Forced head_splits > 1: dk/dv accumulate across the sequential
     split steps and still match the unsplit result (up to the summation

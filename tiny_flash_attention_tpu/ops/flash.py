@@ -572,16 +572,27 @@ def _flash_bwd_rule(causal, sm_scale, config, window, segment_starts,
     from tiny_flash_attention_tpu.ops.flash_bwd import flash_attention_bwd
     q, k, v, segment_ids, out, lse = res
     choice = getattr(config, "kernel", "worklist")
-    if choice in ("auto", "tri"):
+    if choice in ("auto", "tri", "tri_block"):
         from tiny_flash_attention_tpu.ops import flash_tri_bwd
-        if choice == "tri" or flash_tri_bwd.tri_bwd_eligible(
-                q.shape, k.shape[1], k.shape[2], causal, window,
-                segment_ids, segment_starts, q.dtype):
+        bwd_kw = dict(sm_scale=sm_scale,
+                      sub=getattr(config, "tri_sub", 256),
+                      leaf=getattr(config, "tri_leaf", 0) or 128,
+                      interpret=config.interpret)
+        if choice == "tri" or (
+                choice == "auto" and flash_tri_bwd.tri_bwd_eligible(
+                    q.shape, k.shape[1], k.shape[2], causal, window,
+                    segment_ids, segment_starts, q.dtype)):
             dq, dk, dv = flash_tri_bwd.tri_flash_bwd(
-                q, k, v, out, lse, g, sm_scale=sm_scale,
-                sub=getattr(config, "tri_sub", 256),
-                leaf=getattr(config, "tri_leaf", 0) or 128,
-                interpret=config.interpret)
+                q, k, v, out, lse, g, **bwd_kw)
+            return dq, dk, dv, None
+        # long S: the row-banded grid keeps the triangle emission with
+        # q-side windows bounded; dk/dv accumulate across band steps
+        if (choice == "tri_block" and window is None) or (
+                choice == "auto" and flash_tri_bwd.tri_bwd_band_eligible(
+                    q.shape, k.shape[1], k.shape[2], causal, window,
+                    segment_ids, segment_starts, q.dtype)):
+            dq, dk, dv = flash_tri_bwd.tri_flash_bwd_banded(
+                q, k, v, out, lse, g, **bwd_kw)
             return dq, dk, dv, None
     # tuned on v5e (chained timing, all three grads live): 512x512 wins
     # (86 TF/s effective vs 46 at 256x256)

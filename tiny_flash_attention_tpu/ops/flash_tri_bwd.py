@@ -317,3 +317,278 @@ def _pad4(x, s_to: int, d_to: int):
     if ps == 0 and pd == 0:
         return x
     return jnp.pad(x, ((0, 0), (0, 0), (0, ps), (0, pd)))
+
+
+# ---------------------------------------------------------------------------
+# Q-banded triangle backward: the same decomposition gridded over row
+# bands (mirror of ops/flash_tri.tri_block_fwd), for sequences whose
+# one-shot q/do/dq windows exceed VMEM. Per band step, the q-side
+# windows shrink to `band` rows while K/V stay whole-sequence resident;
+# dk/dv accumulate in (s_pad, d_pad) f32 scratch ACROSS the sequential
+# (head-split, band) steps — init at the first step, write at the last —
+# the same cross-step-scratch idiom the one-shot kernel already uses for
+# its head splits. dq writes per band block.
+# ---------------------------------------------------------------------------
+
+_BWD_BAND_ROWS = 2048
+
+
+def _band_step_bytes(gpp: int, band: int, s_pad: int, d_pad: int,
+                     item: int, sub: int = 256) -> int:
+    win = gpp * band * d_pad * item * 3          # q, do, dq windows
+    win += 2 * s_pad * d_pad * item              # k, v windows
+    acc = gpp * band * d_pad * 4                 # dq acc
+    acc += 2 * s_pad * d_pad * 4                 # dk, dv acc
+    stats = 2 * gpp * band * LANES * 4
+    temps = 12 * gpp * sub * sub * 4
+    return 2 * win + acc + stats + temps
+
+
+def tri_bwd_band_eligible(q_shape, hkv: int, kv_len: int, causal: bool,
+                          window, segment_ids, segment_starts,
+                          dtype) -> bool:
+    bs, hq, q_len, d = q_shape
+    if not causal or window is not None or segment_ids is not None \
+            or segment_starts is not None:
+        return False
+    if q_len != kv_len or q_len < 1024:
+        return False
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    d_pad = _round_up(d, LANES)
+    s_pad = _round_up(q_len, LANES)
+    group = hq // hkv
+    item = jnp.dtype(dtype).itemsize
+    for splits in (1, 2, 4, 8):
+        if group % splits:
+            continue
+        if _band_step_bytes(group // splits, _BWD_BAND_ROWS, s_pad, d_pad,
+                            item) <= _VMEM_BUDGET:
+            return True
+    return False
+
+
+def _tri_bwd_band_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+                         dq_ref, dk_ref, dv_ref,
+                         dq_scr, dk_scr, dv_scr, d_scr, lse_scr,
+                         *, sm_scale: float, gpp: int, splits: int,
+                         n_bands: int, band: int, s_len: int, s_pad: int,
+                         sub: int, leaf: int):
+    t = pl.program_id(2)
+    bi = pl.program_id(3)
+    band0 = bi * band
+    d_pad = q_ref.shape[-1]
+    dtype = q_ref.dtype
+    precision = (jax.lax.Precision.HIGHEST
+                 if dtype == jnp.float32 else None)
+    scale2 = jnp.asarray(sm_scale * _LOG2E, jnp.float32)
+
+    dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    @pl.when((t == 0) & (bi == 0))
+    def _init_kv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    d_scr[...] = jnp.tile(dd_ref[0].reshape(gpp, band, 1), (1, 1, LANES))
+    lse_scr[...] = jnp.tile(lse_ref[0].reshape(gpp, band, 1),
+                            (1, 1, LANES)) * jnp.asarray(_LOG2E,
+                                                         jnp.float32)
+
+    ci = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
+    leaf_tri = ci <= ri
+
+    def rows_of(ref, r0, rows):
+        return ref[0, :, pl.ds(r0, rows), :].reshape(gpp * rows, d_pad)
+
+    def stat(ref, r0, rows):
+        return ref[:, pl.ds(r0, rows), :].reshape(gpp * rows, LANES)
+
+    def block(r0, rows, kc, vc, c0, cols, valid):
+        """ALL gpp heads' band-local rows [r0, r0+rows) x GLOBAL kv
+        columns [c0, c0+cols) (kc/vc hold those columns). Identical math
+        to the one-shot kernel's block; only the row/col coordinate
+        spaces differ (rows band-local, cols global)."""
+        qs = rows_of(q_ref, r0, rows)
+        dos = rows_of(do_ref, r0, rows)
+        rep = cols // LANES
+        s2 = jax.lax.dot_general(
+            qs, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) * scale2
+        if valid is not None:
+            s2 = jnp.where(valid, s2, DEFAULT_MASK_VALUE)
+        p = jnp.exp2(s2 - jnp.tile(stat(lse_scr, r0, rows), (1, rep)))
+        dp = jax.lax.dot_general(
+            dos, vc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        ds = (p * (dp - jnp.tile(stat(d_scr, r0, rows), (1, rep)))
+              * jnp.asarray(sm_scale, jnp.float32)).astype(dtype)
+        pc = p.astype(dtype)
+        dqc = jax.lax.dot_general(
+            ds, kc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        dq_scr[:, pl.ds(r0, rows), :] += dqc.reshape(gpp, rows, d_pad)
+        dk_scr[pl.ds(c0, cols), :] += jax.lax.dot_general(
+            ds, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        dv_scr[pl.ds(c0, cols), :] += jax.lax.dot_general(
+            pc, dos, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    n_row_tiles = band // sub
+
+    # --- rect phase: chunks strictly left of the band (all valid) --------
+    def left_body(j, carry):
+        c0 = j * sub
+        kc = k_ref[0, 0, pl.ds(c0, sub), :]
+        vc = v_ref[0, 0, pl.ds(c0, sub), :]
+
+        def row_body(i, carry2):
+            block(i * sub, sub, kc, vc, c0, sub, None)
+            return carry2
+
+        jax.lax.fori_loop(0, n_row_tiles, row_body, 0)
+        return carry
+
+    jax.lax.fori_loop(0, band0 // sub, left_body, 0)
+
+    # --- diag phase: the band's own chunks (leaf diagonals + strips +
+    # within-band tall rects), band-local row coords, global col coords --
+    def chunk_body(jj, carry):
+        c0l = jj * sub                     # band-local chunk start
+        c0g = band0 + c0l                  # global
+        kc = k_ref[0, 0, pl.ds(c0g, sub), :]
+        vc = v_ref[0, 0, pl.ds(c0g, sub), :]
+        for tt in range(sub // leaf):
+            l0 = c0l + tt * leaf
+            gl0 = band0 + l0
+            valid = jnp.tile(leaf_tri & (ci + gl0 < s_len), (gpp, 1))
+            block(l0, leaf, kc[tt * leaf:(tt + 1) * leaf],
+                  vc[tt * leaf:(tt + 1) * leaf], gl0, leaf, valid)
+            if tt:
+                block(l0, leaf, kc[:tt * leaf], vc[:tt * leaf],
+                      c0g, tt * leaf, None)
+
+        def rect_body(i, carry2):
+            block(i * sub, sub, kc, vc, c0g, sub, None)
+            return carry2
+
+        jax.lax.fori_loop(jj + 1, n_row_tiles, rect_body, 0)
+        return carry
+
+    jax.lax.fori_loop(0, n_row_tiles, chunk_body, 0)
+
+    dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+    @pl.when((t == splits - 1) & (bi == n_bands - 1))
+    def _write_kv():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def tri_flash_bwd_banded(q, k, v, out, lse, do, *, sm_scale: float,
+                         sub: int = 256, leaf: int = 128,
+                         head_splits: int = None, band_rows: int = None,
+                         interpret: bool = False):
+    """Banded-grid (dq, dk, dv) for causal q_len == kv_len attention —
+    the long-sequence form of tri_flash_bwd (same math, same emission,
+    row-banded grid)."""
+    bs, hq, q_len, d = q.shape
+    _, hkv, kv_len, _ = k.shape
+    assert q_len == kv_len
+    group = hq // hkv
+    sub = max(LANES, _round_up(sub, LANES))
+    leaf = max(LANES, _round_up(leaf, LANES))
+    while sub % leaf:
+        leaf //= 2
+    leaf = max(leaf, LANES)
+    d_pad = _round_up(d, LANES)
+    band = max(sub, _round_up(min(band_rows or _BWD_BAND_ROWS, q_len),
+                              sub))
+    s_pad = _round_up(q_len, band)
+    n_bands = s_pad // band
+    item = q.dtype.itemsize
+    if head_splits:
+        splits = head_splits
+    else:
+        splits = 0
+        for cand in (1, 2, 4, 8):
+            if group % cand:
+                continue
+            if _band_step_bytes(group // cand, band, s_pad, d_pad,
+                                item) <= _VMEM_BUDGET:
+                splits = cand
+                break
+        splits = splits or group
+    assert group % splits == 0, (group, splits)
+    gpp = group // splits
+
+    q4 = _pad4(q, s_pad, d_pad)
+    k4 = _pad4(k, s_pad, d_pad)
+    v4 = _pad4(v, s_pad, d_pad)
+    do4 = _pad4(do.astype(q.dtype), s_pad, d_pad)
+    dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                 axis=-1, keepdims=True)
+    dd4 = jnp.pad(dd, ((0, 0), (0, 0), (0, s_pad - q_len), (0, 0)))
+    lse4 = jnp.pad(lse[..., None].astype(jnp.float32),
+                   ((0, 0), (0, 0), (0, s_pad - q_len), (0, 0)))
+
+    kernel = functools.partial(
+        _tri_bwd_band_kernel, sm_scale=sm_scale, gpp=gpp, splits=splits,
+        n_bands=n_bands, band=band, s_len=q_len, s_pad=s_pad, sub=sub,
+        leaf=leaf)
+
+    cost = pl.CostEstimate(
+        flops=int(10 * bs * hq * q_len * kv_len * d * 0.5),
+        bytes_accessed=int((3 * q4.size
+                            + n_bands * (k4.size + v4.size) * 2)
+                           * q.dtype.itemsize),
+        transcendentals=int(bs * hq * q_len * kv_len * 0.5),
+    )
+
+    def hd(b, h, t, i):
+        return b, h * splits + t, i, 0
+
+    def whole(b, h, t, i):
+        return b, h, 0, 0
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bs, hkv, splits, n_bands),
+        in_specs=[
+            pl.BlockSpec((1, gpp, band, d_pad), hd),
+            pl.BlockSpec((1, 1, s_pad, d_pad), whole),
+            pl.BlockSpec((1, 1, s_pad, d_pad), whole),
+            pl.BlockSpec((1, gpp, band, d_pad), hd),
+            pl.BlockSpec((1, gpp, band, 1), hd),
+            pl.BlockSpec((1, gpp, band, 1), hd),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, gpp, band, d_pad), hd),
+            pl.BlockSpec((1, 1, s_pad, d_pad), whole),
+            pl.BlockSpec((1, 1, s_pad, d_pad), whole),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, hq, s_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bs, hkv, s_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((bs, hkv, s_pad, d_pad), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((gpp, band, d_pad), jnp.float32),    # dq acc
+            pltpu.VMEM((s_pad, d_pad), jnp.float32),        # dk acc
+            pltpu.VMEM((s_pad, d_pad), jnp.float32),        # dv acc
+            pltpu.VMEM((gpp, band, LANES), jnp.float32),    # widened D
+            pltpu.VMEM((gpp, band, LANES), jnp.float32),    # widened lse2
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(q4, k4, v4, do4, lse4, dd4)
+
+    return (dq[:, :, :q_len, :d], dk[:, :, :q_len, :d],
+            dv[:, :, :q_len, :d])

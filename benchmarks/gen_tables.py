@@ -66,6 +66,8 @@ CURATED = [
      "Engine vs stock dense decode, prompt ~8k (int8 KV)", ""),
     ("train_step_bf16_b4_s2048_tokens_per_s",
      "Train step (data, model) GSPMD, one chip", ""),
+    ("train_step_bf16_b1_s8192_tokens_per_s",
+     "Train step s8192 (banded triangle fwd+bwd)", ""),
 ]
 
 

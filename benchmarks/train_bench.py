@@ -57,3 +57,6 @@ def bench_train(*, batch=4, seq=2048, rounds=5, iters=20):
 
 if __name__ == "__main__":
     bench_train()
+    # long-context row: fwd rides the q-banded triangle sweep, backward
+    # the banded triangle grid (dk/dv accumulated across band steps)
+    bench_train(batch=1, seq=8192, iters=8)

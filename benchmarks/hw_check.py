@@ -233,6 +233,20 @@ def main(seed0=0):
     for name, a, b in zip(("dq", "dk", "dv"), g_k, g_o):
         check(f"bwd {name}", a, b, 3e-2, relative=True)
 
+    # banded triangle backward (forced tri_block routes the vjp to the
+    # row-banded grid): s4096 -> 2 bands of 2048 rows, so dk/dv really
+    # accumulate across sequential band steps on chip
+    qb, kb, vb = qkv(seed0 + 9, 1, 8, 2, 4096, 4096, 128, jnp.bfloat16)
+    g_b = jax.grad(
+        sqloss(lambda q, k, v: flash_attention(
+            q, k, v, causal=True, config=FlashConfig(kernel="tri_block"))),
+        argnums=(0, 1, 2))(qb, kb, vb)
+    g_bo = jax.grad(sqloss(lambda q, k, v: oracle(q, k, v, causal=True)),
+                    argnums=(0, 1, 2))(qb, kb, vb)
+    for name, a, b in zip(("dq", "dk", "dv"), g_b, g_bo):
+        check(f"bwd {name} s4096 (banded tri grid)", a, b, 3e-2,
+              relative=True)
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=1,

@@ -403,7 +403,7 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
                 choice == "auto" and window is None
                 and flash_tri.tri_eligible(
                     q.shape, hkv, kv_len, causal, window, segment_ids,
-                    segment_starts, q.dtype)):
+                    segment_starts, q.dtype, quantized=quantized)):
             return flash_tri.tri_flash_fwd(q, k, v, **tri_kw)
         # One-shot working set too big (long S) or sliding window: the
         # q-banded sweep keeps the rect geometry, VMEM linear in S.
@@ -411,7 +411,8 @@ def _flash_fwd_impl(q, k, v, segment_ids, causal, sm_scale, config,
                 choice == "auto" and flash_tri.tri_block_eligible(
                     q.shape, hkv, kv_len, causal, window, segment_ids,
                     segment_starts, q.dtype,
-                    sub=getattr(config, "tri_sub", 256))):
+                    sub=getattr(config, "tri_sub", 256),
+                    quantized=quantized)):
             return flash_tri.tri_block_fwd(q, k, v, window=window,
                                            **tri_kw)
     # Keep the folded q tile (group*block_q rows) near the configured size.

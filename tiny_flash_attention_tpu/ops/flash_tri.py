@@ -74,7 +74,8 @@ _VMEM_BUDGET = 72 * 2**20
 
 
 def tri_eligible(q_shape, hkv: int, kv_len: int, causal: bool, window,
-                 segment_ids, segment_starts, dtype) -> bool:
+                 segment_ids, segment_starts, dtype,
+                 quantized: bool = False) -> bool:
     """True when the one-shot triangle kernel covers this problem."""
     bs, hq, q_len, d = q_shape
     if not causal or window is not None or segment_ids is not None \
@@ -86,7 +87,11 @@ def tri_eligible(q_shape, hkv: int, kv_len: int, causal: bool, window,
         return False
     if dtype not in (jnp.bfloat16, jnp.float32):
         return False
-    return _vmem_estimate(q_shape, hkv, dtype) <= _VMEM_BUDGET
+    est = _vmem_estimate(q_shape, hkv, dtype)
+    if quantized:
+        est += 2 * _round_up(q_len, LANES) * _round_up(d, LANES) * \
+            jnp.dtype(dtype).itemsize
+    return est <= _VMEM_BUDGET
 
 
 def _vmem_estimate(q_shape, hkv: int, dtype) -> int:
@@ -363,7 +368,7 @@ _BAND_ROW_BUDGET = 8192
 
 def tri_block_eligible(q_shape, hkv: int, kv_len: int, causal: bool, window,
                        segment_ids, segment_starts, dtype,
-                       sub: int = 256) -> bool:
+                       sub: int = 256, quantized: bool = False) -> bool:
     """True when the banded triangle kernel covers this problem.
 
     Sliding windows ARE covered (unlike the one-shot kernel): the band
@@ -381,7 +386,13 @@ def tri_block_eligible(q_shape, hkv: int, kv_len: int, causal: bool, window,
         return False
     if dtype not in (jnp.bfloat16, jnp.float32):
         return False
-    return _block_vmem_estimate(q_shape, hkv, dtype) <= _VMEM_BUDGET
+    est = _block_vmem_estimate(q_shape, hkv, dtype)
+    if quantized:
+        # whole-sequence dequant scratch (k + v in compute dtype)
+        d_pad = _round_up(d, LANES)
+        est += 2 * _round_up(q_len, LANES) * d_pad * \
+            jnp.dtype(dtype).itemsize
+    return est <= _VMEM_BUDGET
 
 
 def _block_vmem_estimate(q_shape, hkv: int, dtype) -> int:

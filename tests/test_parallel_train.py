@@ -88,6 +88,35 @@ def test_train_step_runs_multiple_iterations():
     assert losses[-1] < losses[0]  # memorizing random batches still descends
 
 
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    """save/restore_train_state (orbax): resuming from the checkpoint
+    produces the identical next-step loss as the uninterrupted run, and
+    restored params land on their param_specs shardings."""
+    from tiny_flash_attention_tpu.parallel.train import (
+        save_train_state, restore_train_state, param_specs)
+
+    mesh = make_mesh(8, data=4, model=2)
+    params = T.init_params(CFG, jax.random.key(5))
+    train_step, init_state = make_train_step(CFG, mesh)
+    sparams, sopt = init_state(params)
+    toks = [jax.random.randint(jax.random.key(30 + i), (8, 64), 0, 128)
+            for i in range(3)]
+    sparams, sopt, _ = train_step(sparams, sopt, toks[0])
+    sparams, sopt, _ = train_step(sparams, sopt, toks[1])
+    save_train_state(str(tmp_path / "ck"), sparams, sopt, step=2)
+    _, _, loss_cont = train_step(sparams, sopt, toks[2])
+
+    f_params, f_opt = init_state(T.init_params(CFG, jax.random.key(99)))
+    r_params, r_opt, step = restore_train_state(
+        str(tmp_path / "ck"), f_params, f_opt, mesh, CFG)
+    assert step == 2
+    emb = r_params["embed"]
+    assert emb.sharding.spec == param_specs(CFG)["embed"]
+    _, _, loss_resume = train_step(r_params, r_opt, toks[2])
+    np.testing.assert_allclose(float(loss_resume), float(loss_cont),
+                               rtol=0, atol=0)
+
+
 def test_hybrid_mesh_single_slice_and_sharded_step():
     """make_hybrid_mesh degrades to (1, ici...) on one slice; a shard_map
     collective over its axes runs on the virtual devices."""

@@ -137,6 +137,45 @@ def make_train_step(cfg: T.ModelConfig, mesh: Mesh,
     return train_step, init_state
 
 
+def save_train_state(path: str, params, opt_state, *, step: int = 0):
+    """Checkpoints the sharded train state with orbax (SURVEY.md §5
+    checkpoint/resume row, training side; kv_cache.save is the serving
+    side). Works for any optimizer whose state is a pytree of arrays.
+    `path` is created; the checkpoint lands at `path`/state."""
+    import os
+    import orbax.checkpoint as ocp
+    os.makedirs(path, exist_ok=True)
+    with ocp.StandardCheckpointer() as ck:
+        ck.save(os.path.join(os.path.abspath(path), "state"),
+                {"params": params, "opt_state": opt_state,
+                 "step": jnp.asarray(step, jnp.int32)})
+
+
+def restore_train_state(path: str, params_like, opt_state_like,
+                        mesh: Mesh, cfg):
+    """Restores a checkpoint saved by save_train_state and re-places
+    params on their param_specs shardings; opt-state arrives replicated
+    and the first jitted train_step re-shards it (its opt-state sharding
+    is unconstrained — the same invariant init_state establishes).
+    `*_like` trees provide structure/shapes/dtypes (e.g. from a fresh
+    init_state). Returns (params, opt_state, step)."""
+    import os
+    import orbax.checkpoint as ocp
+
+    def abstract(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree)
+
+    target = {"params": abstract(params_like),
+              "opt_state": abstract(opt_state_like),
+              "step": jax.ShapeDtypeStruct((), jnp.int32)}
+    with ocp.StandardCheckpointer() as ck:
+        state = ck.restore(os.path.join(os.path.abspath(path), "state"),
+                           target)
+    return (shard_params(state["params"], mesh, cfg), state["opt_state"],
+            int(state["step"]))
+
+
 # --- manual-SPMD inference forward (kept for the serving path) ---------------
 
 

@@ -233,19 +233,24 @@ def decode_loop(cfg: T.ModelConfig, params: dict, pages: List[jax.Array],
 def _append_rows(pages, k_new, v_new, page_ids, rows, *, page_size, fmt):
     """pages (hkv, np, prows, d); k_new/v_new (B, hkv, d).
 
-    Routes to the Pallas in-place append kernel (ops/paged_fused.py:
-    fused_page_append) — 2-4 overlapped DMAs per (head, seq) instead of
-    the XLA scatter decomposition (10 serialized scatters for int8).
+    Dispatches the XLA scatter decomposition (_append_rows_scatter). The
+    Pallas in-place DMA append (ops/paged_fused.py: fused_page_append)
+    would replace it with 2-4 overlapped DMAs per (head, seq), but the
+    current Mosaic toolchain rejects single-row DMA windows into tiled
+    bf16/int8 buffers outright ("slice shape must be aligned to tiling"),
+    so it cannot compile on this hardware — it stays an interpret-mode
+    surface (tests/test_paged_fused.py) until sub-tile DMA lands. The
+    scatter path is the round-2 measured default (engine bf16 7.3k /
+    int8 10.9k tokens/s include it).
     """
-    from tiny_flash_attention_tpu.ops.paged_fused import fused_page_append
-    return fused_page_append(pages, k_new, v_new, page_ids, rows,
-                             page_size=page_size)
+    return _append_rows_scatter(pages, k_new, v_new, page_ids, rows,
+                                page_size=page_size, fmt=fmt)
 
 
 def _append_rows_scatter(pages, k_new, v_new, page_ids, rows, *, page_size,
                          fmt):
-    """XLA-scatter reference for _append_rows (kept as the oracle the
-    kernel path is tested against; not dispatched in the decode loop)."""
+    """XLA-scatter token append — the dispatched decode-loop path (see
+    _append_rows) and the oracle the Pallas DMA kernel is tested against."""
     ps = page_size
     k_new = jnp.swapaxes(k_new, 0, 1)    # (hkv, B, d)
     v_new = jnp.swapaxes(v_new, 0, 1)

@@ -105,8 +105,11 @@ def _vmem_estimate(q_shape, hkv: int, dtype) -> int:
     o_b = rows * d_pad * item
     acc_b = rows * d_pad * 4
     stats_b = 2 * rows * LANES * 4
-    # double-buffered ins/outs + one in-flight f32 score chunk
-    return 2 * (q_b + kv_b + o_b) + acc_b + stats_b + rows * 256 * 4
+    # double-buffered ins/outs + in-flight loop-body temps: the tall-rect
+    # emission holds ~3 full-height f32 tiles live per chunk (scores,
+    # exp2, p) — undercounting this term let (group * s_pad) = 16k-row
+    # problems through the gate and OOM at compile (run_all round 4)
+    return 2 * (q_b + kv_b + o_b) + acc_b + stats_b + 3 * rows * 256 * 4
 
 
 def _tri_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float, group: int,
@@ -150,12 +153,6 @@ def _tri_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float, group: int,
             sl = slice(j * sub, (j + 1) * sub)
             return k_ref[0, 0, sl, :], v_ref[0, 0, sl, :]
 
-    # leaf-diagonal mask, shared by every leaf (relative coords): valid
-    # iff col <= row within the leaf x leaf block
-    ci = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
-    leaf_valid = ci <= ri
-
     def update(g, r0, r1, s_tile, j, v_tile, col_lo=0, col_hi=None):
         """Online-softmax update of head g's rows [r0, r1) with the f32
         score tile s_tile against kv chunk j's columns [col_lo, col_hi)
@@ -191,36 +188,32 @@ def _tri_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float, group: int,
         k_t, v_t = kv_chunk(j)
         c0 = j * sub
         # --- the chunk's own sub x sub diagonal square, emitted at LEAF
-        # granularity: per leaf row-band t, a masked leaf x leaf diagonal
-        # plus (t > 0) one unmasked band rect over the chunk columns below
-        # it. Overscheduled work is leaf/2 per row -> sched = 1/(1+leaf/S)
-        # while the expensive tall rects keep their full `sub` width.
+        # granularity: per leaf row-band t, ONE fused tile over cols
+        # [0, (t+1)*leaf) — the strip left of the band is strictly valid
+        # (col < t*leaf <= row) and the trailing leaf x leaf block carries
+        # the diagonal mask, so each band costs one dot + one stats/acc
+        # update (the round-3 split emission paid two of each, which made
+        # leaf=128 measure BELOW leaf=256 despite its better
+        # sched = 1/(1+leaf/S)). Overscheduled MXU work stays leaf/2 per
+        # row while the tall rects keep their full `sub` width.
         for t in range(sub // leaf):
             l0 = c0 + t * leaf          # this band's first row/col
-            valid = leaf_valid
+            width = (t + 1) * leaf
+            ci_w = jax.lax.broadcasted_iota(jnp.int32, (leaf, width), 1)
+            ri_w = jax.lax.broadcasted_iota(jnp.int32, (leaf, width), 0)
+            valid = ci_w <= ri_w + t * leaf
             if l0 + leaf > s_len:
                 # partial tail: also mask kv padding columns
-                valid = valid & (ci < s_len - l0)
+                valid = valid & (ci_w < s_len - c0)
             for g in range(group):
                 qs = q[g * s_pad + l0:g * s_pad + l0 + leaf, :]
-                kl = k_t[t * leaf:(t + 1) * leaf]
                 sl = jax.lax.dot_general(
-                    qs, kl, (((1,), (1,)), ((), ())),
+                    qs, k_t[:width], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision)
                 sl = jnp.where(valid, sl, DEFAULT_MASK_VALUE)
                 update(g, l0, l0 + leaf, sl, j, v_t,
-                       col_lo=t * leaf, col_hi=(t + 1) * leaf)
-            if t > 0:
-                for g in range(group):
-                    qs = q[g * s_pad + l0:g * s_pad + l0 + leaf, :]
-                    kb = k_t[:t * leaf]
-                    sb = jax.lax.dot_general(
-                        qs, kb, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision)
-                    update(g, l0, l0 + leaf, sb, j, v_t,
-                           col_lo=0, col_hi=t * leaf)
+                       col_lo=0, col_hi=width)
         # --- tall unmasked rectangle: rows [c0+sub, s_pad) see every
         # column of this chunk (fully-valid by construction)
         r0 = c0 + sub
@@ -408,7 +401,8 @@ def _block_vmem_estimate(q_shape, hkv: int, dtype) -> int:
     o_b = rows * d_pad * item
     acc_b = rows * d_pad * 4
     stats_b = 2 * rows * LANES * 4
-    return 2 * (q_b + kv_b + o_b) + acc_b + stats_b + rows * 256 * 4
+    # in-flight temps term matches _vmem_estimate's accounting
+    return 2 * (q_b + kv_b + o_b) + acc_b + stats_b + 3 * rows * 256 * 4
 
 
 def _tri_block_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float,
@@ -517,36 +511,28 @@ def _tri_block_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float,
         jax.lax.fori_loop(lo_any, lo_full, edge_body, 0)
         jax.lax.fori_loop(lo_full, n_left, rect_body, 0)
 
-    # --- diag phase: the band's own triangle, leaf column sweep -----------
-    ci = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
-    leaf_valid = ci <= ri
+    # --- diag phase: the band's own triangle, leaf column sweep. Same
+    # fused emission as the one-shot kernel: per leaf row-band, one tile
+    # over cols [0, (t+1)*leaf) whose strip part is strictly valid and
+    # whose trailing leaf x leaf block carries the diagonal mask — one
+    # dot + one stats/acc update per band.
     for jj in range(band // sub):
         c0l = jj * sub                         # band-local chunk start
         k_t, v_t = kv_at(band0 + c0l, sub)
         for t in range(sub // leaf):
             l0 = c0l + t * leaf                # band-local leaf row/col
-            gl0 = band0 + l0                   # global (traced)
-            valid = leaf_valid & (ci < s_len - gl0)
+            width = (t + 1) * leaf
+            ci_w = jax.lax.broadcasted_iota(jnp.int32, (leaf, width), 1)
+            ri_w = jax.lax.broadcasted_iota(jnp.int32, (leaf, width), 0)
+            valid = (ci_w <= ri_w + t * leaf) \
+                & (ci_w < s_len - band0 - c0l)
             for g in range(group):
                 qs = q[g * band + l0:g * band + l0 + leaf, :]
-                kl = k_t[t * leaf:(t + 1) * leaf]
                 sl = jax.lax.dot_general(
-                    qs, kl, (((1,), (1,)), ((), ())),
+                    qs, k_t[:width], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=precision)
                 sl = jnp.where(valid, sl, DEFAULT_MASK_VALUE)
-                update(g, l0, l0 + leaf, sl, gl0,
-                       v_t[t * leaf:(t + 1) * leaf])
-            if t > 0:
-                for g in range(group):
-                    qs = q[g * band + l0:g * band + l0 + leaf, :]
-                    kb = k_t[:t * leaf]
-                    sb = jax.lax.dot_general(
-                        qs, kb, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision)
-                    update(g, l0, l0 + leaf, sb, band0 + c0l,
-                           v_t[:t * leaf])
+                update(g, l0, l0 + leaf, sl, band0 + c0l, v_t[:width])
         r0 = c0l + sub
         if r0 < band:
             for g in range(group):

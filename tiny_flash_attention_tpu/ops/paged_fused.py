@@ -147,6 +147,11 @@ def _append_kernel(page_ids_ref, rows_ref, kq_ref, vq_ref, ksb_ref, vsb_ref,
       K scales    (4, 1)  at rows 2ps   + 4*(row//d), lane row % d
       V scales    (4, 1)  at rows 2ps+sr+ 4*(row//d), lane row % d
     All copies start before any waits so their latencies overlap.
+
+    Source layout constraint: each per-token source is carried as the full
+    trailing (1, d) / (4, 1) block of a 4-D ref so the DMA slices only the
+    leading (untiled) dims — slicing a 1-row/1-lane window out of a tiled
+    VMEM dim is sub-tile and rejected by Mosaic.
     """
     del pages_in
     hkv, B = kq_ref.shape[0], kq_ref.shape[1]
@@ -159,11 +164,11 @@ def _append_kernel(page_ids_ref, rows_ref, kq_ref, vq_ref, ksb_ref, vsb_ref,
         row = rows_ref[b]
         out = [
             pltpu.make_async_copy(
-                kq_ref.at[h, pl.ds(b, 1), :],
+                kq_ref.at[h, b],
                 pages_out.at[h, pid, pl.ds(row, 1), :],
                 sems.at[h, b, 0]),
             pltpu.make_async_copy(
-                vq_ref.at[h, pl.ds(b, 1), :],
+                vq_ref.at[h, b],
                 pages_out.at[h, pid, pl.ds(ps + row, 1), :],
                 sems.at[h, b, 1]),
         ]
@@ -171,11 +176,11 @@ def _append_kernel(page_ids_ref, rows_ref, kq_ref, vq_ref, ksb_ref, vsb_ref,
             srow = 2 * ps + 4 * (row // d)
             lane = row % d
             out.append(pltpu.make_async_copy(
-                ksb_ref.at[h, :, pl.ds(b, 1)],
+                ksb_ref.at[h, b],
                 pages_out.at[h, pid, pl.ds(srow, 4), pl.ds(lane, 1)],
                 sems.at[h, b, 2]))
             out.append(pltpu.make_async_copy(
-                vsb_ref.at[h, :, pl.ds(b, 1)],
+                vsb_ref.at[h, b],
                 pages_out.at[h, pid, pl.ds(sr + srow, 4), pl.ds(lane, 1)],
                 sems.at[h, b, 3]))
         return out
@@ -206,12 +211,22 @@ def fused_page_append(
     row-within-page. Returns the updated pages array (same buffer under
     jit thanks to input/output aliasing).
 
-    Replaces the XLA scatter path: the int8 scatter decomposition is 2
-    payload scatters + 8 single-byte scale scatters, each serialized on
+    Would replace the XLA scatter path: the int8 scatter decomposition is
+    2 payload scatters + 8 single-byte scale scatters, each serialized on
     TPU; here the whole append is 2 (bf16) or 4 (int8) small DMAs per
     (head, sequence), all in flight together. Decode-step analog of the
     reference's in-loop cache write (flash_attention_c/csrc/attn.cpp
     decode path: kv_len = i + 1 + gap grows as rows land in the cache).
+
+    TOOLCHAIN LIMIT: current Mosaic rejects DMA windows smaller than the
+    destination's sublane tile ("Slice shape along dimension N must be
+    aligned to tiling"), and a 1-token row is inherently sub-tile for
+    bf16 (packed (2,128)) and int8 ((4,128)) pages. Measured probe: only
+    full trailing (1,128)-of-int32 blocks indexed on leading dims
+    compile, which this page format cannot express without doubling
+    int8's bytes/token. The engine therefore dispatches the scatter path
+    (models/inference._append_rows); this kernel remains the
+    interpret-mode surface asserting the format's DMA decomposition.
     """
     hkv, num_pages, prows, d = fused_pages.shape
     B = k_new.shape[0]
@@ -219,6 +234,8 @@ def fused_page_append(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # per-token sources as full trailing blocks: payloads (hkv, B, 1, d),
+    # scale bytes (hkv, B, 4, 1) — see the layout note in _append_kernel
     kt = jnp.swapaxes(k_new, 0, 1)            # (hkv, B, d)
     vt = jnp.swapaxes(v_new, 0, 1)
     if quantized:
@@ -231,15 +248,17 @@ def fused_page_append(
             return vals, scale[..., 0]
         kq, ks = q(kt)
         vq, vs = q(vt)
-        # (hkv, B) f32 -> (hkv, 4, B) int8: byte j of token b at [j, b],
+        # (hkv, B) f32 -> (hkv, B, 4, 1) int8: byte j of token b at row j,
         # matching _pack_scale_rows's byte-j-at-row-j layout
-        ksb = jnp.swapaxes(jax.lax.bitcast_convert_type(ks, jnp.int8), 1, 2)
-        vsb = jnp.swapaxes(jax.lax.bitcast_convert_type(vs, jnp.int8), 1, 2)
+        ksb = jax.lax.bitcast_convert_type(ks, jnp.int8)[..., None]
+        vsb = jax.lax.bitcast_convert_type(vs, jnp.int8)[..., None]
     else:
         kq = kt.astype(fused_pages.dtype)
         vq = vt.astype(fused_pages.dtype)
-        ksb = jnp.zeros((hkv, 4, B), jnp.int8)
+        ksb = jnp.zeros((hkv, B, 4, 1), jnp.int8)
         vsb = ksb
+    kq = kq[:, :, None, :]
+    vq = vq[:, :, None, :]
 
     kernel = functools.partial(_append_kernel, page_size=page_size,
                                quantized=quantized)
@@ -247,10 +266,13 @@ def fused_page_append(
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(kq.shape, lambda i, *_: (0, 0, 0)),
-            pl.BlockSpec(vq.shape, lambda i, *_: (0, 0, 0)),
-            pl.BlockSpec(ksb.shape, lambda i, *_: (0, 0, 0)),
-            pl.BlockSpec(vsb.shape, lambda i, *_: (0, 0, 0)),
+            # sources pinned to HBM: the copies are HBM->HBM scatters, and
+            # HBM refs are untiled so the 1-row / 1-lane windows are legal
+            # (a bf16 VMEM ref's (2,128) packed tiling rejects them)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],

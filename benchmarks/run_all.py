@@ -46,6 +46,9 @@ def main():
     ap.add_argument("-o", "--out", default="benchmarks/RESULTS.json")
     ap.add_argument("--suites", default=None,
                     help="comma-separated subset of suite names")
+    ap.add_argument("--merge", action="store_true",
+                    help="keep the existing file's metrics for suites NOT "
+                         "re-run (re-run suites are replaced wholesale)")
     args = ap.parse_args()
     want = set(args.suites.split(",")) if args.suites else None
 
@@ -53,6 +56,11 @@ def main():
                          cwd=ROOT, capture_output=True, text=True
                          ).stdout.strip()
     results = {"git": rev, "ts": time.time(), "metrics": []}
+    if args.merge and (ROOT / args.out).exists():
+        prev = json.loads((ROOT / args.out).read_text())
+        ran = want if want else {n for n, _ in SUITES}
+        results["metrics"] = [m for m in prev.get("metrics", [])
+                              if m.get("suite") not in ran]
     for name, cmd in SUITES:
         if want and name not in want:
             continue

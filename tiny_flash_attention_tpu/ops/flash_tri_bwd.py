@@ -70,6 +70,31 @@ _LOG2E = math.log2(math.e)
 _VMEM_BUDGET = 56 * 2**20   # per-step working-set target (windows+scratch)
 
 
+def _fori(lo, hi, body):
+    """Sequential loop over [lo, hi) that STAYS a loop after lowering.
+
+    The whole point of this file's loop structure is ONE live set of
+    loop-body temps (see the STRUCTURE note in the module docstring) —
+    but the current Mosaic toolchain fully unrolls loops whose trip
+    count it can prove static, which resurrects the unrolled-temps form
+    as 460M of register-allocator SPILL SLOTS (measured: 500.67M of
+    128M VMEM at s2048 gpp=4, round 5 — the round-4 train suite
+    failure). A `lax.while_loop` is NOT enough: the canonicalizer
+    converts a constant-bound while back into a for and unrolls it.
+    Callers must therefore pass `hi` as a RUNTIME value — both kernels
+    read their trip counts from an SMEM operand (`nb_ref`), which the
+    compiler cannot constant-fold. `body(i)` runs for its ref side
+    effects only."""
+    def cond(i):
+        return i < hi
+
+    def step(i):
+        body(i)
+        return i + 1
+
+    jax.lax.while_loop(cond, step, lo)
+
+
 def _step_bytes(gpp: int, s_pad: int, d_pad: int, item: int,
                 sub: int = 256) -> int:
     """Per-grid-step VMEM: double-buffered windows + f32 accumulators +
@@ -108,14 +133,16 @@ def tri_bwd_eligible(q_shape, hkv: int, kv_len: int, causal: bool, window,
                         jnp.dtype(dtype).itemsize) > 0
 
 
-def _tri_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+def _tri_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, nb_ref,
                     dq_ref, dk_ref, dv_ref,
-                    dq_scr, dk_scr, dv_scr, d_scr, lse_scr,
+                    dq_scr, dk_scr, dv_scr,
                     *, sm_scale: float, gpp: int, splits: int, s_len: int,
                     s_pad: int, sub: int, leaf: int):
     t = pl.program_id(2)
     d_pad = q_ref.shape[-1]
-    n_chunks = s_pad // sub
+    # trip count as a RUNTIME scalar (SMEM) so the loops below cannot be
+    # proven static and unrolled — see _fori
+    n_chunks = nb_ref[0]
     dtype = q_ref.dtype
     precision = (jax.lax.Precision.HIGHEST
                  if dtype == jnp.float32 else None)
@@ -128,15 +155,14 @@ def _tri_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    # per-row delta D = rowsum(do*out), precomputed host-side (saves the
-    # `out` operand's VMEM window); widened ONCE to LANES like lse (a
-    # per-block widening of a (rows, 1) slice would be the pathological
-    # cross-lane gather — see flash.py:306-312). Staged into VMEM scratch
-    # because the loop bodies below slice at traced offsets, and Mosaic
-    # only lowers dynamic slices through refs (pl.ds), not values.
-    d_scr[...] = jnp.tile(dd_ref[0].reshape(gpp, s_pad, 1), (1, 1, LANES))
-    lse_scr[...] = jnp.tile(lse_ref[0].reshape(gpp, s_pad, 1),
-                            (1, 1, LANES)) * jnp.asarray(_LOG2E, jnp.float32)
+    # per-row delta D = rowsum(do*out) and the log2-domain lse arrive
+    # PRE-WIDENED to LANES from XLA (tri_flash_bwd broadcasts them
+    # host-side): an in-kernel (rows, 1) -> (rows, LANES) tile is the
+    # pathological cross-lane broadcast (flash.py:306-312) — on the
+    # current toolchain it also blew up register allocation (460M of
+    # spill slots, the round-4 train failure), and XLA broadcasts are
+    # free by comparison. The loop bodies slice the widened windows at
+    # traced offsets directly (refs lower pl.ds fine).
 
     ci = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
     ri = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
@@ -146,7 +172,7 @@ def _tri_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
         return ref[0, :, pl.ds(r0, rows), :].reshape(gpp * rows, d_pad)
 
     def stat(ref, r0, rows):
-        return ref[:, pl.ds(r0, rows), :].reshape(gpp * rows, LANES)
+        return ref[0, :, pl.ds(r0, rows), :].reshape(gpp * rows, LANES)
 
     def block(r0, rows, kc, vc, c0, cols, valid):
         """One emitted tile: ALL gpp heads' rows [r0, r0+rows) x global kv
@@ -162,11 +188,11 @@ def _tri_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
             precision=precision) * scale2
         if valid is not None:
             s2 = jnp.where(valid, s2, DEFAULT_MASK_VALUE)
-        p = jnp.exp2(s2 - jnp.tile(stat(lse_scr, r0, rows), (1, rep)))
+        p = jnp.exp2(s2 - jnp.tile(stat(lse_ref, r0, rows), (1, rep)))
         dp = jax.lax.dot_general(
             dos, vc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        ds = (p * (dp - jnp.tile(stat(d_scr, r0, rows), (1, rep)))
+        ds = (p * (dp - jnp.tile(stat(dd_ref, r0, rows), (1, rep)))
               * jnp.asarray(sm_scale, jnp.float32)).astype(dtype)
         pc = p.astype(dtype)
         dqc = jax.lax.dot_general(
@@ -180,7 +206,7 @@ def _tri_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
             pc, dos, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
-    def chunk_body(j, carry):
+    def chunk_body(j):
         c0 = j * sub
         kc = k_ref[0, 0, pl.ds(c0, sub), :]
         vc = v_ref[0, 0, pl.ds(c0, sub), :]
@@ -199,14 +225,10 @@ def _tri_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
 
         # tall unmasked rectangle below the chunk diagonal, as fixed
         # sub x sub row tiles over a dynamic-bound loop
-        def rect_body(i, carry2):
-            block(i * sub, sub, kc, vc, c0, sub, None)
-            return carry2
+        _fori(j + 1, n_chunks, lambda i: block(i * sub, sub, kc, vc,
+                                               c0, sub, None))
 
-        jax.lax.fori_loop(j + 1, n_chunks, rect_body, 0)
-        return carry
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    _fori(0, n_chunks, chunk_body)
 
     dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
@@ -245,15 +267,20 @@ def tri_flash_bwd(q, k, v, out, lse, do, *, sm_scale: float,
     v4 = _pad4(v, s_pad, d_pad)
     do4 = _pad4(do.astype(q.dtype), s_pad, d_pad)
     # D = rowsum(do * out) computed once in XLA (one fused elementwise+
-    # reduce pass) — keeps the `out` operand out of the kernel's VMEM
+    # reduce pass) — keeps the `out` operand out of the kernel's VMEM.
+    # Both stats ship PRE-WIDENED to LANES (and lse pre-scaled into the
+    # log2 domain): XLA lane-broadcasts are free, in-kernel ones are not
+    # (see the kernel's stats note)
     dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                  axis=-1, keepdims=True)
     dd4 = jnp.pad(dd, ((0, 0), (0, 0), (0, s_pad - q_len), (0, 0)))
+    dd4 = jnp.broadcast_to(dd4, (bs, hq, s_pad, LANES))
     # pad rows' lse = 0 is safe: pad q rows are zero, so their ds/p
     # contributions to dk/dv vanish against zero q/do rows, and their dq
     # rows are sliced off
-    lse4 = jnp.pad(lse[..., None].astype(jnp.float32),
+    lse4 = jnp.pad((lse * _LOG2E)[..., None].astype(jnp.float32),
                    ((0, 0), (0, 0), (0, s_pad - q_len), (0, 0)))
+    lse4 = jnp.broadcast_to(lse4, (bs, hq, s_pad, LANES))
 
     kernel = functools.partial(
         _tri_bwd_kernel, sm_scale=sm_scale, gpp=gpp, splits=splits,
@@ -269,6 +296,9 @@ def tri_flash_bwd(q, k, v, out, lse, do, *, sm_scale: float,
     def hd(b, h, t):
         return b, h * splits + t, 0, 0
 
+    # optimization_barrier keeps the trip count a runtime operand — a bare
+    # constant is folded into the Mosaic module and the loops unroll again
+    nb = jax.lax.optimization_barrier(jnp.asarray([s_pad // sub], jnp.int32))
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(bs, hkv, splits),
@@ -277,8 +307,9 @@ def tri_flash_bwd(q, k, v, out, lse, do, *, sm_scale: float,
             pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h, t: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, s_pad, d_pad), lambda b, h, t: (b, h, 0, 0)),
             pl.BlockSpec((1, gpp, s_pad, d_pad), hd),
-            pl.BlockSpec((1, gpp, s_pad, 1), hd),
-            pl.BlockSpec((1, gpp, s_pad, 1), hd),
+            pl.BlockSpec((1, gpp, s_pad, LANES), hd),
+            pl.BlockSpec((1, gpp, s_pad, LANES), hd),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, gpp, s_pad, d_pad), hd),
@@ -294,15 +325,13 @@ def tri_flash_bwd(q, k, v, out, lse, do, *, sm_scale: float,
             pltpu.VMEM((gpp, s_pad, d_pad), jnp.float32),   # dq acc
             pltpu.VMEM((s_pad, d_pad), jnp.float32),        # dk acc
             pltpu.VMEM((s_pad, d_pad), jnp.float32),        # dv acc
-            pltpu.VMEM((gpp, s_pad, LANES), jnp.float32),   # widened D
-            pltpu.VMEM((gpp, s_pad, LANES), jnp.float32),   # widened lse2
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 2**20),
         cost_estimate=cost,
         interpret=interpret,
-    )(q4, k4, v4, do4, lse4, dd4)
+    )(q4, k4, v4, do4, lse4, dd4, nb)
 
     return (dq[:, :, :q_len, :d], dk[:, :, :q_len, :d],
             dv[:, :, :q_len, :d])
@@ -369,8 +398,8 @@ def tri_bwd_band_eligible(q_shape, hkv: int, kv_len: int, causal: bool,
 
 
 def _tri_bwd_band_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
-                         dq_ref, dk_ref, dv_ref,
-                         dq_scr, dk_scr, dv_scr, d_scr, lse_scr,
+                         nb_ref, dq_ref, dk_ref, dv_ref,
+                         dq_scr, dk_scr, dv_scr,
                          *, sm_scale: float, gpp: int, splits: int,
                          n_bands: int, band: int, s_len: int, s_pad: int,
                          sub: int, leaf: int):
@@ -390,10 +419,8 @@ def _tri_bwd_band_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    d_scr[...] = jnp.tile(dd_ref[0].reshape(gpp, band, 1), (1, 1, LANES))
-    lse_scr[...] = jnp.tile(lse_ref[0].reshape(gpp, band, 1),
-                            (1, 1, LANES)) * jnp.asarray(_LOG2E,
-                                                         jnp.float32)
+    # dd/lse arrive pre-widened to LANES and lse pre-scaled to the log2
+    # domain (see _tri_bwd_kernel's stats note)
 
     ci = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 1)
     ri = jax.lax.broadcasted_iota(jnp.int32, (leaf, leaf), 0)
@@ -403,7 +430,7 @@ def _tri_bwd_band_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
         return ref[0, :, pl.ds(r0, rows), :].reshape(gpp * rows, d_pad)
 
     def stat(ref, r0, rows):
-        return ref[:, pl.ds(r0, rows), :].reshape(gpp * rows, LANES)
+        return ref[0, :, pl.ds(r0, rows), :].reshape(gpp * rows, LANES)
 
     def block(r0, rows, kc, vc, c0, cols, valid):
         """ALL gpp heads' band-local rows [r0, r0+rows) x GLOBAL kv
@@ -419,11 +446,11 @@ def _tri_bwd_band_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
             precision=precision) * scale2
         if valid is not None:
             s2 = jnp.where(valid, s2, DEFAULT_MASK_VALUE)
-        p = jnp.exp2(s2 - jnp.tile(stat(lse_scr, r0, rows), (1, rep)))
+        p = jnp.exp2(s2 - jnp.tile(stat(lse_ref, r0, rows), (1, rep)))
         dp = jax.lax.dot_general(
             dos, vc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        ds = (p * (dp - jnp.tile(stat(d_scr, r0, rows), (1, rep)))
+        ds = (p * (dp - jnp.tile(stat(dd_ref, r0, rows), (1, rep)))
               * jnp.asarray(sm_scale, jnp.float32)).astype(dtype)
         pc = p.astype(dtype)
         dqc = jax.lax.dot_general(
@@ -437,26 +464,23 @@ def _tri_bwd_band_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
             pc, dos, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
-    n_row_tiles = band // sub
+    # trip count as a RUNTIME scalar (SMEM) so the loops below cannot be
+    # proven static and unrolled — see _fori
+    n_row_tiles = nb_ref[0]
 
     # --- rect phase: chunks strictly left of the band (all valid) --------
-    def left_body(j, carry):
+    def left_body(j):
         c0 = j * sub
         kc = k_ref[0, 0, pl.ds(c0, sub), :]
         vc = v_ref[0, 0, pl.ds(c0, sub), :]
+        _fori(0, n_row_tiles, lambda i: block(i * sub, sub, kc, vc,
+                                              c0, sub, None))
 
-        def row_body(i, carry2):
-            block(i * sub, sub, kc, vc, c0, sub, None)
-            return carry2
-
-        jax.lax.fori_loop(0, n_row_tiles, row_body, 0)
-        return carry
-
-    jax.lax.fori_loop(0, band0 // sub, left_body, 0)
+    _fori(0, band0 // sub, left_body)
 
     # --- diag phase: the band's own chunks (leaf diagonals + strips +
     # within-band tall rects), band-local row coords, global col coords --
-    def chunk_body(jj, carry):
+    def chunk_body(jj):
         c0l = jj * sub                     # band-local chunk start
         c0g = band0 + c0l                  # global
         kc = k_ref[0, 0, pl.ds(c0g, sub), :]
@@ -471,14 +495,10 @@ def _tri_bwd_band_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
                 block(l0, leaf, kc[:tt * leaf], vc[:tt * leaf],
                       c0g, tt * leaf, None)
 
-        def rect_body(i, carry2):
-            block(i * sub, sub, kc, vc, c0g, sub, None)
-            return carry2
+        _fori(jj + 1, n_row_tiles, lambda i: block(i * sub, sub, kc, vc,
+                                                   c0g, sub, None))
 
-        jax.lax.fori_loop(jj + 1, n_row_tiles, rect_body, 0)
-        return carry
-
-    jax.lax.fori_loop(0, n_row_tiles, chunk_body, 0)
+    _fori(0, n_row_tiles, chunk_body)
 
     dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
@@ -529,11 +549,15 @@ def tri_flash_bwd_banded(q, k, v, out, lse, do, *, sm_scale: float,
     k4 = _pad4(k, s_pad, d_pad)
     v4 = _pad4(v, s_pad, d_pad)
     do4 = _pad4(do.astype(q.dtype), s_pad, d_pad)
+    # stats pre-widened to LANES, lse pre-scaled to log2 domain — see
+    # tri_flash_bwd's stats note
     dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                  axis=-1, keepdims=True)
     dd4 = jnp.pad(dd, ((0, 0), (0, 0), (0, s_pad - q_len), (0, 0)))
-    lse4 = jnp.pad(lse[..., None].astype(jnp.float32),
+    dd4 = jnp.broadcast_to(dd4, (bs, hq, s_pad, LANES))
+    lse4 = jnp.pad((lse * _LOG2E)[..., None].astype(jnp.float32),
                    ((0, 0), (0, 0), (0, s_pad - q_len), (0, 0)))
+    lse4 = jnp.broadcast_to(lse4, (bs, hq, s_pad, LANES))
 
     kernel = functools.partial(
         _tri_bwd_band_kernel, sm_scale=sm_scale, gpp=gpp, splits=splits,
@@ -554,6 +578,8 @@ def tri_flash_bwd_banded(q, k, v, out, lse, do, *, sm_scale: float,
     def whole(b, h, t, i):
         return b, h, 0, 0
 
+    # optimization_barrier: see tri_flash_bwd's nb note
+    nb = jax.lax.optimization_barrier(jnp.asarray([band // sub], jnp.int32))
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(bs, hkv, splits, n_bands),
@@ -562,8 +588,9 @@ def tri_flash_bwd_banded(q, k, v, out, lse, do, *, sm_scale: float,
             pl.BlockSpec((1, 1, s_pad, d_pad), whole),
             pl.BlockSpec((1, 1, s_pad, d_pad), whole),
             pl.BlockSpec((1, gpp, band, d_pad), hd),
-            pl.BlockSpec((1, gpp, band, 1), hd),
-            pl.BlockSpec((1, gpp, band, 1), hd),
+            pl.BlockSpec((1, gpp, band, LANES), hd),
+            pl.BlockSpec((1, gpp, band, LANES), hd),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, gpp, band, d_pad), hd),
@@ -579,8 +606,6 @@ def tri_flash_bwd_banded(q, k, v, out, lse, do, *, sm_scale: float,
             pltpu.VMEM((gpp, band, d_pad), jnp.float32),    # dq acc
             pltpu.VMEM((s_pad, d_pad), jnp.float32),        # dk acc
             pltpu.VMEM((s_pad, d_pad), jnp.float32),        # dv acc
-            pltpu.VMEM((gpp, band, LANES), jnp.float32),    # widened D
-            pltpu.VMEM((gpp, band, LANES), jnp.float32),    # widened lse2
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
@@ -588,7 +613,7 @@ def tri_flash_bwd_banded(q, k, v, out, lse, do, *, sm_scale: float,
             vmem_limit_bytes=100 * 2**20),
         cost_estimate=cost,
         interpret=interpret,
-    )(q4, k4, v4, do4, lse4, dd4)
+    )(q4, k4, v4, do4, lse4, dd4, nb)
 
     return (dq[:, :, :q_len, :d], dk[:, :, :q_len, :d],
             dv[:, :, :q_len, :d])

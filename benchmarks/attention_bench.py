@@ -250,9 +250,19 @@ def main():
         return
     if args.isolate:
         for name in ROWS:
-            proc = subprocess.run(
-                [sys.executable, "-u", __file__, "--only", name],
-                capture_output=True, text=True, timeout=2400)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-u", __file__, "--only", name],
+                    capture_output=True, text=True, timeout=2400)
+            except subprocess.TimeoutExpired as e:
+                # a relay compile stall must cost one row, not the suite
+                out = e.stdout or ""
+                if isinstance(out, bytes):
+                    out = out.decode(errors="replace")
+                sys.stdout.write(out)
+                sys.stdout.flush()
+                print(f"row {name} TIMED OUT (2400s)", file=sys.stderr)
+                continue
             sys.stdout.write(proc.stdout)
             sys.stdout.flush()
             if proc.returncode != 0:

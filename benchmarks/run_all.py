@@ -73,8 +73,29 @@ def main():
             continue
         print(f"=== {name}", file=sys.stderr, flush=True)
         t0 = time.time()
-        proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
-                              timeout=3600)
+        try:
+            proc = subprocess.run(cmd, cwd=ROOT, capture_output=True,
+                                  text=True, timeout=7200)
+        except subprocess.TimeoutExpired as e:
+            # salvage whatever rows the suite printed before stalling —
+            # relay compile stalls of 15-40 min per row are routine, and
+            # one stuck suite must not lose the rest of the matrix
+            for line in (e.stdout or b"").decode(errors="replace") \
+                    .splitlines() if isinstance(e.stdout, bytes) else \
+                    (e.stdout or "").splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    rec["suite"] = name
+                    results["metrics"].append(rec)
+            results["metrics"].append({
+                "suite": name, "metric": f"{name}_suite_timeout",
+                "value": 7200, "unit": "s"})
+            print(f"=== {name} TIMED OUT", file=sys.stderr, flush=True)
+            continue
         for line in proc.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):

@@ -42,6 +42,20 @@ def test_tri_matches_reference(dtype, atol, s, sub, leaf, group):
                                np.asarray(want), atol=atol, rtol=0)
 
 
+def test_tri_mqa_wide_group():
+    """MQA (n_kv_heads=1): the whole head dim folds into ONE grid step's
+    rows (group == hq) — the widest fold the kernel supports (ref GQA
+    grouping seed: flash_attention_c archive attn.cpp:29-375, taken to
+    its kv_heads=1 extreme)."""
+    q, k, v = _mk((1, 8, 384, 64), (1, 1, 384, 64), jnp.bfloat16, seed=11)
+    out, _ = tri_flash_fwd(q, k, v, sm_scale=0.125, sub=128,
+                           interpret=True)
+    want = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32), causal=True, sm_scale=0.125)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want), atol=2e-2, rtol=0)
+
+
 def test_tri_lse_bitexact_vs_worklist():
     """Same log2-domain math as the work-list kernel -> identical LSE."""
     q, k, v = _mk((2, 4, 256, 64), (2, 1, 256, 64), jnp.float32, seed=3)

@@ -36,6 +36,7 @@ SUITES = [
     ("engine", [sys.executable, "-u", "benchmarks/engine_bench.py"]),
     ("train", [sys.executable, "-u", "benchmarks/train_bench.py"]),
     ("jagged", [sys.executable, "-u", "benchmarks/jagged_prefill_bench.py"]),
+    ("encoder", [sys.executable, "-u", "benchmarks/encoder_bench.py"]),
     ("ring_overlap", [sys.executable, "-u",
                       "benchmarks/ring_overlap_bench.py"]),
 ]

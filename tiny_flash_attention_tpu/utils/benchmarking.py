@@ -94,14 +94,19 @@ def run_benchmark(fn: Callable, *args, warmup: int = 5, epochs: int = 100,
             carry = stepper(tuple(args))
             _fence(carry)
 
-        samples = []
+        raws = []
         for _ in range(rounds):
             t0 = time.perf_counter()
             carry = stepper(tuple(args))
             _fence(carry)
-            samples.append(
-                (time.perf_counter() - t0 - fence_s) / epochs * 1e3)
-        samples.sort()
+            raws.append(time.perf_counter() - t0)
+        # The relay RTT jitters at the ms level; if the calibration fences
+        # happened to catch a slow period, subtracting them can exceed a
+        # fast round's total and yield a NEGATIVE time (observed once as a
+        # -1917 TF/s row). Clamp the fence to 90% of the fastest round —
+        # conservative: throughput is under-, never over-reported.
+        fence_s = min(fence_s, 0.9 * min(raws))
+        samples = sorted((r - fence_s) / epochs * 1e3 for r in raws)
         return {
             "mean_ms": sum(samples) / len(samples),
             "min_ms": samples[0],
@@ -120,15 +125,16 @@ def run_benchmark(fn: Callable, *args, warmup: int = 5, epochs: int = 100,
         fences.append(time.perf_counter() - t0)
     fence_s = min(fences)
 
-    samples = []
+    raws = []
     for _ in range(rounds):
         t0 = time.perf_counter()
         for _ in range(epochs):
             out = fn(*args, **kwargs)
         _fence(out)
-        samples.append((time.perf_counter() - t0 - fence_s) / epochs * 1e3)
+        raws.append(time.perf_counter() - t0)
 
-    samples.sort()
+    fence_s = min(fence_s, 0.9 * min(raws))   # see the chained-path note
+    samples = sorted((r - fence_s) / epochs * 1e3 for r in raws)
     return {
         "mean_ms": sum(samples) / len(samples),
         "min_ms": samples[0],

@@ -65,7 +65,14 @@ def run_benchmark(fn: Callable, *args, warmup: int = 5, epochs: int = 100,
     if chain == "auto":
         leaf = jax.tree_util.tree_leaves(out)[0]
         chain = None
-        if (all(isinstance(a, jax.Array) for a in args) and args
+        # args may be pytrees (e.g. QuantizedTensor) — only the chained
+        # first argument must be a raw array. Requiring every arg to be
+        # one silently demoted quantized-attention rows to the per-call
+        # dispatch loop, which measures launch overhead, not the kernel
+        # (int8 prefill read 111 TF/s unchained vs 128.6 chained).
+        if (args and isinstance(args[0], jax.Array)
+                and all(isinstance(a, jax.Array)
+                        for a in jax.tree_util.tree_leaves(args))
                 and leaf.shape == args[0].shape
                 and leaf.dtype == args[0].dtype):
             chain = _auto_chain
